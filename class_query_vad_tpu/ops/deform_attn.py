@@ -1,0 +1,179 @@
+"""3D multi-scale deformable attention — TPU-native.
+
+Replaces the reference CUDA extension ``MultiScaleDeformableAttention``
+(semantics: trilinear 8-corner sampling in
+/root/reference/ops/src/cuda/ms_deform_im2col_cuda_t.cuh:34-115, coordinate
+unnormalization ``loc * size - 0.5`` with an all-corners-outside drop guard at
+:424-431, module-level projections in
+/root/reference/ops/modules/ms_deform_attn.py:167-204).
+
+Two implementations share one functional signature:
+
+* ``ms_deform_attn_3d_xla``  — pure-XLA vectorized gather.  Differentiable by
+  construction (``jax.grad`` replaces the reference's ~1,100-line hand-written
+  col2im backward), correct on any backend; serves as the golden reference.
+* ``ms_deform_attn_3d`` — dispatcher; currently the XLA path (a Pallas
+  query-tiled kernel can be slotted in behind the same signature).
+
+Layout notes (TPU-first): values are kept ``[B, S, H, D]`` with the head/depth
+axes last so the per-corner gathers are contiguous 128-lane reads, and the
+8-corner weighted sum is a fused VPU op.  Level shapes are *static* Python
+tuples — levels are unrolled at trace time, so XLA sees fixed-shape gathers.
+
+Coordinate convention (pinned by the CUDA kernel): the last axis of
+``sampling_locations`` is ``(x, y, t)`` i.e. (width, height, time), each
+normalized to [0, 1] over the *level's* extent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_level(
+    value: jnp.ndarray,          # [B, t*h*w, H, D] one level, flattened
+    shape: Tuple[int, int, int],  # (t, h, w) static
+    loc: jnp.ndarray,            # [B, Q, H, P, 3] normalized (x, y, t)
+    weight: jnp.ndarray,         # [B, Q, H, P]
+) -> jnp.ndarray:
+    """Trilinear-sample one level and reduce over points. Returns [B, Q, H, D]."""
+    t, h, w = shape
+    bsz, _, nheads, depth = value.shape
+
+    # Unnormalize exactly like the CUDA kernel (cuda/ms_deform_im2col_cuda_t.cuh:424-426)
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    tt = loc[..., 2] * t - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    t0 = jnp.floor(tt)
+    lx = x - x0
+    ly = y - y0
+    lt = tt - t0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    t0i = t0.astype(jnp.int32)
+
+    # Entirely-outside points are dropped (guard at :428); corner-wise
+    # validity masks reproduce both the guard and the edge zero-padding.
+    in_bounds = (
+        (tt > -1.0) & (y > -1.0) & (x > -1.0)
+        & (tt < t) & (y < h) & (x < w)
+    )
+    weight = weight * in_bounds.astype(weight.dtype)
+
+    out = jnp.zeros(loc.shape[:3] + (depth,), dtype=value.dtype)
+    for dt in (0, 1):
+        ti = t0i + dt
+        wt = lt if dt else (1.0 - lt)
+        t_ok = (ti >= 0) & (ti <= t - 1)
+        for dy in (0, 1):
+            yi = y0i + dy
+            wy = ly if dy else (1.0 - ly)
+            y_ok = (yi >= 0) & (yi <= h - 1)
+            for dx in (0, 1):
+                xi = x0i + dx
+                wx = lx if dx else (1.0 - lx)
+                x_ok = (xi >= 0) & (xi <= w - 1)
+
+                ok = t_ok & y_ok & x_ok
+                flat = (ti * h + yi) * w + xi
+                flat = jnp.clip(flat, 0, t * h * w - 1)
+                cw = (wt * wy * wx) * ok.astype(weight.dtype) * weight
+                gathered = _gather_heads(value, flat)          # [B, Q, H, P, D]
+                out = out + (cw[..., None] * gathered).sum(axis=3)
+    return out
+
+
+def _gather_heads(value: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """Gather value [B, S, H, D] at per-head flat spatial indices.
+
+    flat: [B, Q, H, P] int32 -> returns [B, Q, H, P, D].
+    """
+    bsz, s, nheads, depth = value.shape
+    # Move head axis next to spatial so one take_along_axis does the job:
+    # value -> [B, H, S, D]; flat -> [B, H, Q*P]
+    v = jnp.swapaxes(value, 1, 2)                      # [B, H, S, D]
+    b, q, hh, p = flat.shape
+    idx = jnp.swapaxes(flat, 1, 2).reshape(b, hh, q * p, 1)
+    g = jnp.take_along_axis(v, idx, axis=2)            # [B, H, Q*P, D]
+    g = g.reshape(b, hh, q, p, depth)
+    return jnp.moveaxis(g, 1, 2)                       # [B, Q, H, P, D]
+
+
+def ms_deform_attn_3d_xla(
+    value: jnp.ndarray,                       # [B, S, H, D]
+    spatial_shapes: Sequence[Tuple[int, int, int]],
+    sampling_locations: jnp.ndarray,          # [B, Q, H, L, P, 3] (x, y, t)
+    attention_weights: jnp.ndarray,           # [B, Q, H, L, P]
+) -> jnp.ndarray:
+    """Pure-XLA 3D multi-scale deformable attention. Returns [B, Q, H*D]."""
+    bsz, s_total, nheads, depth = value.shape
+    nlevels = len(spatial_shapes)
+    assert sampling_locations.shape[3] == nlevels
+
+    sizes = [t * h * w for (t, h, w) in spatial_shapes]
+    assert sum(sizes) == s_total, (sizes, s_total)
+
+    out = jnp.zeros(
+        sampling_locations.shape[:2] + (nheads, depth), dtype=value.dtype
+    )
+    start = 0
+    for lvl, shape in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value, start, start + sizes[lvl], axis=1)
+        out = out + _sample_level(
+            v_l,
+            shape,
+            sampling_locations[:, :, :, lvl],
+            attention_weights[:, :, :, lvl],
+        )
+        start += sizes[lvl]
+
+    b, q = out.shape[:2]
+    return out.reshape(b, q, nheads * depth)
+
+
+def ms_deform_attn_3d(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dispatch to the best available implementation for this backend."""
+    return ms_deform_attn_3d_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def directional_offset_init(
+    n_heads: int, n_levels: int, n_points: int
+) -> jnp.ndarray:
+    """Bias init for the sampling-offset head.
+
+    Spreads heads on a circle in (x, y) with the first half of heads carrying
+    temporal extent, scaled per point — reference init at
+    /root/reference/ops/modules/ms_deform_attn.py:149-159.
+    Returns [n_heads * n_levels * n_points * 3] flat bias.
+    """
+    half = n_heads // 2
+    thetas = jnp.arange(half, dtype=jnp.float32) * (2.0 * math.pi / half)
+    t_extent = jnp.concatenate([jnp.ones(half), jnp.zeros(n_heads - half)])
+    grid = jnp.stack(
+        [
+            jnp.tile(jnp.cos(thetas), 2)[:n_heads],
+            jnp.tile(jnp.sin(thetas), 2)[:n_heads],
+            t_extent,
+        ],
+        axis=-1,
+    )  # [H, 3]
+    grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    point_scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
+    grid = grid * point_scale
+    return grid.reshape(-1)
