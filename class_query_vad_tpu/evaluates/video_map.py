@@ -1,0 +1,301 @@
+"""Video-mAP: tube linking + spatio-temporal AP.
+
+Clean numpy reimplementation of the reference's tube machinery
+(/root/reference/evaluates/utils/video_map.py:95-341 and
+video_map_utils.py:85-260) with the exact decision rules:
+
+* per (class, video): missing frames are filled with the nearest frame's
+  detections; Viterbi (backward max-sum) over edge scores
+  iou + s_i + s_j + 0.5*s_i*s_j links one box per frame; linked boxes are
+  removed and the pass repeats until some frame empties, max 3 tubes
+  (video_map.py:112-174);
+* 3D NMS at 0.3 on tube-mean scores, then each kept tube is trimmed to
+  [start : start+len] where start/len come from the video's first/last
+  frames with any detection (video_map.py:177-226);
+* AP: tubes sorted by mean score; a tube is positive if its best
+  spatio-temporal IoU (iou3dt, +1-pixel area convention, temporal overlap
+  weighting) against the video's remaining gt tubes clears the threshold;
+  matched gt is consumed; PR uses fn + 1e-5 in the recall denominator;
+  VOC all-points AP (video_map.py:211-277, video_map_utils.py:207-260);
+* mAP = plain mean over classes (no gt-presence filtering).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# geometry (reference +1-pixel conventions, video_map_utils.py:85-180)
+# ---------------------------------------------------------------------------
+
+def _area2d(b: np.ndarray) -> np.ndarray:
+    return (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+
+
+def _overlap2d(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    xmin = np.maximum(b1[:, 0], b2[:, 0])
+    xmax = np.minimum(b1[:, 2] + 1, b2[:, 2] + 1)
+    ymin = np.maximum(b1[:, 1], b2[:, 1])
+    ymax = np.minimum(b1[:, 3] + 1, b2[:, 3] + 1)
+    return np.maximum(0, xmax - xmin) * np.maximum(0, ymax - ymin)
+
+
+def iou2d(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    if b1.ndim == 1:
+        b1 = b1[None, :]
+    if b2.ndim == 1:
+        b2 = b2[None, :]
+    o = _overlap2d(b1, b2)
+    return o / (_area2d(b1) + _area2d(b2) - o)
+
+
+def iou3d(b1: np.ndarray, b2: np.ndarray) -> float:
+    """Mean per-frame IoU of two aligned tubes [T, >=5] (col 0 = frame)."""
+    o = _overlap2d(b1[:, 1:5], b2[:, 1:5])
+    return float(np.mean(o / (_area2d(b1[:, 1:5]) + _area2d(b2[:, 1:5]) - o)))
+
+
+def iou3dt(b1: np.ndarray, b2: np.ndarray) -> float:
+    """Spatio-temporal tube IoU (video_map_utils.py:207-216)."""
+    if len(b1) == 0 or len(b2) == 0:
+        return 0.0
+    tmin = max(b1[0, 0], b2[0, 0])
+    tmax = min(b1[-1, 0], b2[-1, 0])
+    if tmax <= tmin:
+        return 0.0
+    temporal_inter = tmax - tmin + 1
+    temporal_union = max(b1[-1, 0], b2[-1, 0]) - min(b1[0, 0], b2[0, 0]) + 1
+    t1 = b1[np.where(b1[:, 0] == tmin)[0][0] : np.where(b1[:, 0] == tmax)[0][0] + 1]
+    t2 = b2[np.where(b2[:, 0] == tmin)[0][0] : np.where(b2[:, 0] == tmax)[0][0] + 1]
+    return iou3d(t1, t2) * temporal_inter / temporal_union
+
+
+def nms_3d(detections: Sequence[Tuple[np.ndarray, float]], overlap=0.5):
+    """Greedy tube NMS by score (video_map_utils.py:218-231)."""
+    if len(detections) == 0:
+        return np.array([], np.int32)
+    order = np.argsort([d[1] for d in detections])
+    keep = []
+    while order.size > 0:
+        i = order[-1]
+        keep.append(i)
+        ious = np.array(
+            [iou3dt(detections[j][0], detections[i][0]) for j in order[:-1]]
+        )
+        order = order[np.where(ious <= overlap)[0]]
+    return np.array(keep, np.int32)
+
+
+def voc_ap(pr: np.ndarray) -> float:
+    """All-points VOC AP over a [N, 2] (precision, recall) curve."""
+    rec, prec = pr[:, 1], pr[:, 0]
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
+
+
+# ---------------------------------------------------------------------------
+# tube linking (video_map.py:95-208)
+# ---------------------------------------------------------------------------
+
+def _edge_scores(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """Pairwise link score between consecutive-frame boxes [N,5]x[M,5].
+
+    The link IoU is the PLAIN (no +1) convention — the reference's
+    compute_score_one_class calls video_map_utils.bbox_iou (:62-95), not the
+    +1-pixel area2d/overlap2d pair used by the tube-matching IoUs.
+    """
+    a = b1[:, :4]
+    b = b2[:, :4]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    # bbox_iou computes the intersection as w1+w2-union_w (equivalent to the
+    # standard min/max form when boxes overlap; clamped at 0 otherwise)
+    cw = np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0])
+    ch = np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1])
+    inter = np.where((cw > 0) & (ch > 0), cw * ch, 0.0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    iou = np.where(inter > 0, inter / union, 0.0)
+    s_sum = b1[:, 4:5] + b2[None, :, 4]
+    s_mul = b1[:, 4:5] * b2[None, :, 4]
+    return (iou + s_sum + 0.5 * s_mul).astype(np.float32)
+
+
+def link_boxes(bbox_list: List[np.ndarray], max_tubes: int = 3) -> List[np.ndarray]:
+    """Iterative Viterbi linking: one box per frame per pass, boxes removed
+    after use, stop when any frame empties or max_tubes reached.
+
+    bbox_list: per-frame [N_f, 5] arrays (x1 y1 x2 y2 score).
+    Returns tubes as [nframes, 6] arrays (frame(1-based), box, score).
+    """
+    nfr = len(bbox_list)
+    bbox_list = [np.asarray(b, np.float32).reshape(-1, 5) for b in bbox_list]
+    not_empty = [i for i in range(nfr) if bbox_list[i].size]
+    if not not_empty:
+        return []
+    if len(not_empty) != nfr:
+        for i in range(nfr):
+            if not bbox_list[i].size:
+                nn = not_empty[int(np.argmin(np.abs(np.array(not_empty) - i)))]
+                bbox_list[i] = bbox_list[nn]
+
+    detect = [b.copy() for b in bbox_list]
+    edges = [
+        _edge_scores(detect[i], detect[i + 1]) for i in range(nfr - 1)
+    ]
+    res = []
+    while all(d.size for d in detect):
+        scores = [np.zeros(d.shape[0], np.float32) for d in detect]
+        index = [None] * nfr
+        for i in range(nfr - 2, -1, -1):
+            es = edges[i] + scores[i + 1]
+            scores[i] = es.max(axis=1)
+            index[i] = es.argmax(axis=1)
+        idx = np.zeros(nfr, np.int32)
+        idx[0] = int(np.argmax(scores[0]))
+        for i in range(nfr - 1):
+            idx[i + 1] = index[i][idx[i]]
+
+        tube = np.empty((nfr, 6), np.float32)
+        tube[:, 0] = 1 + np.arange(nfr)
+        for i in range(nfr):
+            j = idx[i]
+            if i < nfr - 1:
+                edges[i] = np.delete(edges[i], j, 0)
+            if i > 0:
+                edges[i - 1] = np.delete(edges[i - 1], j, 1)
+            tube[i, 1:5] = detect[i][j, :4]
+            tube[i, 5] = detect[i][j, 4]
+            detect[i] = np.delete(detect[i], j, 0)
+        res.append(tube)
+        if len(res) == max_tubes:
+            break
+    return res
+
+
+def link_video_one_class(vid_det, nms3d=True, trim_len=None, trim_start=None):
+    """video_map.py:177-208: link, 3D-NMS (0.3), trim to the valid span."""
+    vdets = [vid_det[i][1] for i in range(len(vid_det))]
+    tubes = link_boxes(vdets)
+    if tubes and nms3d:
+        scored = [(t[:, :5], float(np.mean(t[:, 5]))) for t in tubes]
+        keep = nms_3d(scored, 0.3)
+        if np.array(keep).size:
+            kept = [tubes[k] for k in keep]
+            if trim_len and trim_start is not None:
+                tubes = [t[trim_start : trim_start + trim_len] for t in kept]
+            else:
+                tubes = kept
+    return tubes
+
+
+def video_ap_one_class(gt, pred_videos, iou_thresh=0.2, temporal=True) -> float:
+    """video_map.py:211-277.  gt: list of [video_index, tube[T, 5]];
+    pred_videos: list of [video_index, [[frame_idx, boxes[N,5]], ...]]."""
+    gt = [list(g) for g in gt]
+    pred = []
+    for video_index, frames in pred_videos:
+        valid = [k for k in frames if len(k[1]) != 0]
+        trim_len = len(valid)
+        trim_start = valid[0][0] if trim_len > 0 else None
+        for tube in link_video_one_class(frames, True, trim_len, trim_start):
+            pred.append((video_index, tube))
+
+    order = np.argsort(-np.array([np.mean(t[:, 5]) for _, t in pred])) if pred else []
+    pr = np.empty((len(pred) + 1, 2), np.float32)
+    pr[0] = (1.0, 0.0)
+    fn, fp, tp = len(gt), 0, 0
+    for i, k in enumerate(order):
+        video_index, tube = pred[k]
+        positive = False
+        this = [(j, g[1]) for j, g in enumerate(gt) if g[0] == video_index]
+        if this:
+            if temporal:
+                ious = np.array([iou3dt(np.asarray(g), tube[:, :5]) for _, g in this])
+            else:
+                # align lengths by frame index (video_map.py:254-261)
+                def _iou_aligned(g):
+                    g = np.asarray(g)
+                    b = tube[:, :5]
+                    if b.shape[0] > g.shape[0]:
+                        return iou3d(g, b[int(g[0, 0] - 1) : int(g[-1, 0])])
+                    if b.shape[0] < g.shape[0]:
+                        return iou3d(g[int(b[0, 0] - 1) : int(b[-1, 0])], b)
+                    return iou3d(g, b)
+
+                ious = np.array([_iou_aligned(g) for _, g in this])
+            if ious.size:
+                am = int(np.argmax(ious))
+                if ious[am] >= iou_thresh:
+                    positive = True
+                    del gt[this[am][0]]
+        if positive:
+            tp += 1
+            fn -= 1
+        else:
+            fp += 1
+        pr[i + 1, 0] = tp / (tp + fp)
+        pr[i + 1, 1] = tp / (tp + fn + 1e-5)
+    return voc_ap(pr)
+
+
+class VideoMAPEvaluator:
+    """gt_videos: {vname: {tubes: [tube[T,5]], gt_classes: 1-based label}};
+    all_boxes: {image_key: {1-based class: [x1,y1,x2,y2,score] rows}}."""
+
+    def __init__(self, num_classes: int, iou_threshold: float = 0.5):
+        self.num_classes = num_classes
+        self.iou = iou_threshold
+        self.gt_videos = {}
+        self.all_boxes = {}
+
+    def add_gt(self, gt_videos):
+        self.gt_videos = gt_videos
+
+    def add_pred(self, all_boxes):
+        self.all_boxes = all_boxes
+
+    def evaluate(self) -> Tuple[np.ndarray, float]:
+        if not self.all_boxes:
+            return np.zeros(self.num_classes), 0.0
+
+        # gt -> [label, video_index, tube]
+        keys = sorted(self.gt_videos.keys())
+        gt_fmt = []
+        for i, k in enumerate(keys):
+            for tube in self.gt_videos[k]["tubes"]:
+                gt_fmt.append([self.gt_videos[k]["gt_classes"], i + 1, tube])
+
+        # preds -> per class, per video, list of [frame_index, boxes]
+        img_keys = sorted(self.all_boxes.keys())
+        video_of = lambda k: "_".join(k.split("_")[:-1])
+        ap_all = []
+        for cls_ind in range(1, self.num_classes + 1):
+            pred_videos = []
+            v_cnt = 1
+            v_dets = []
+            prev = video_of(img_keys[0])
+            for k in img_keys:
+                cur = video_of(k)
+                frame_index = int(k.split("_")[-1])
+                dets = self.all_boxes[k].get(cls_ind, np.zeros((0, 5)))
+                if cur != prev:
+                    prev = cur
+                    pred_videos.append([v_cnt, v_dets])
+                    v_cnt += 1
+                    v_dets = []
+                v_dets.append([frame_index, np.asarray(dets, np.float32)])
+            pred_videos.append([v_cnt, v_dets])
+
+            gt = [[g[1], g[2]] for g in gt_fmt if g[0] == cls_ind]
+            ap_all.append(
+                video_ap_one_class(gt, pred_videos, self.iou, temporal=True)
+            )
+        ap_all = np.array(ap_all)
+        return ap_all, float(np.mean(ap_all))

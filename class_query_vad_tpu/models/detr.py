@@ -1,0 +1,136 @@
+"""DETR top module: backbone → transformer → heads → output dict.
+
+Parity reference: /root/reference/models/model.py:19-281.
+
+* ``refpoint_embed``: learned anchors, [NQ, 4] in single-frame mode or
+  [NQ*TEMP_LEN, 4] in tube mode (:47-51);
+* binary actorness head ``class_embed_b`` = Linear(d, 3) (:87);
+* class logits = mean over the feature axis of the (dropout-0.5'ed)
+  class-query outputs (:219-221) — the class branch emits per-(query, class)
+  feature vectors, the head averages them;
+* box head shared with the decoder's iterative refinement, computed in
+  float32 (:195-210);
+* AVA single-frame: outputs collapse to [B, NQ, ...]; tube datasets keep
+  [B, T, NQ, ...] (:223-235);
+* auxiliary outputs per decoder layer (:237-241).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .backbone import ViTBackboneFPN
+from .spec import ModelSpec, spec_from_cfg
+from .transformer import DABTransformer
+
+
+class DETR(nn.Module):
+    spec: ModelSpec
+    dtype: jnp.dtype = jnp.float32    # backbone compute dtype (bf16 on TPU)
+
+    def setup(self):
+        s = self.spec
+        self.num_classes = s.num_classes
+        self.num_queries = s.num_queries
+        self.temporal_length = s.model_temp_len
+        self.single_frame = s.single_frame
+        self.dataset_mode = s.dataset_mode
+        self.hidden_dim = s.d_model
+
+        if s.is_vit:
+            self.backbone = ViTBackboneFPN(
+                s, self.hidden_dim, self.dtype, name="backbone"
+            )
+        else:
+            raise NotImplementedError("CSN backbone lands next")
+
+        self.transformer = DABTransformer(
+            d_model=s.d_model,
+            nhead=s.nhead,
+            num_queries=s.num_queries,
+            num_encoder_layers=s.enc_layers,
+            num_decoder_layers=s.dec_layers,
+            dim_feedforward=s.dim_feedforward,
+            dropout=s.dropout,
+            num_feature_levels=s.num_feature_levels,
+            enc_n_points=s.enc_n_points,
+            num_classes=s.num_classes,
+            temp_len=s.temp_len,
+            single_frame=s.single_frame,
+            encoder_type=s.encoder_type,
+            bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
+            remat=s.gradient_checkpointing,
+            name="transformer",
+        )
+        n_ref = self.num_queries if self.single_frame else (
+            self.num_queries * self.temporal_length
+        )
+        self.refpoint_embed = self.param(
+            "refpoint_embed", nn.initializers.normal(1.0), (n_ref, 4)
+        )
+        self.class_embed_b = nn.Dense(3, dtype=jnp.float32, name="class_embed_b")
+        self.head_dropout = nn.Dropout(0.5)
+
+    def __call__(self, pixels, mask, deterministic: bool = True) -> Dict:
+        """pixels [B, T, H, W, 3]; mask [B, H, W] True=pad."""
+        srcs, masks, poses = self.backbone(pixels, mask)
+
+        tq = 1 if self.single_frame else self.temporal_length
+        refs = self.refpoint_embed.reshape(self.num_queries, tq, 4)
+
+        hs, cls_hs, references = self.transformer(
+            srcs, masks, poses, refs, deterministic
+        )
+        # hs: [NL, BT, NQ, C]; cls_hs: [NL, BT, NQ, NC, C]; refs: [NL, BT, NQ, 4]
+        outputs_class_b = self.class_embed_b(hs)
+        outputs_coord = self.transformer.decode_boxes(hs, references)
+        outputs_class = self.head_dropout(
+            cls_hs, deterministic=deterministic
+        ).mean(axis=-1)                                  # [NL, BT, NQ, NC]
+
+        nl = hs.shape[0]
+        b = pixels.shape[0]
+        nq, nc = self.num_queries, self.num_classes
+        if self.dataset_mode == "ava":
+            if self.single_frame:
+                shape = (nl, b, nq)
+            else:
+                # tube mode: keep the keyframe slice only
+                t = self.temporal_length
+                outputs_class = outputs_class.reshape(nl, b, t, nq, nc)[:, :, t // 2]
+                outputs_coord = outputs_coord.reshape(nl, b, t, nq, 4)[:, :, t // 2]
+                outputs_class_b = outputs_class_b.reshape(nl, b, t, nq, 3)[:, :, t // 2]
+                shape = (nl, b, nq)
+            outputs_class = outputs_class.reshape(*shape, nc)
+            outputs_coord = outputs_coord.reshape(*shape, 4)
+            outputs_class_b = outputs_class_b.reshape(*shape, 3)
+        else:
+            t = self.temporal_length
+            outputs_class = outputs_class.reshape(nl, b, t, nq, nc)
+            outputs_coord = outputs_coord.reshape(nl, b, t, nq, 4)
+            outputs_class_b = outputs_class_b.reshape(nl, b, t, nq, 3)
+
+        out = {
+            "pred_logits": outputs_class[-1],
+            "pred_boxes": outputs_coord[-1],
+            "pred_logits_b": outputs_class_b[-1],
+            "aux_outputs": [
+                {
+                    "pred_logits": outputs_class[i],
+                    "pred_boxes": outputs_coord[i],
+                    "pred_logits_b": outputs_class_b[i],
+                }
+                for i in range(nl - 1)
+            ],
+        }
+        return out
+
+
+def build_model(cfg, dtype=jnp.float32) -> DETR:
+    """Counterpart of /root/reference/models/model.py:253-281 (model only —
+    criterion/postprocessors are built by losses.build)."""
+    return DETR(spec_from_cfg(cfg), dtype=dtype)

@@ -1,0 +1,201 @@
+"""DAB transformer: level flattening, encoder, common-grid interpolation,
+decoder dispatch.
+
+Parity reference: ``Transformer.forward``
+(/root/reference/models/detr/dab_transformer.py:296-397):
+
+* levels are flattened to [B, Σ t·h·w, C] with a learned per-level embedding
+  added to the positional encodings (:307-329);
+* the encoder runs in float32 (autocast-disabled island, :333-334);
+* encoder output is un-flattened and every level is resampled onto a common
+  (TEMP_LEN, H₂, W₂) grid — the grid of level index -2 — via grid_sample on a
+  linspace(-1,1) lattice (``make_interpolated_features``, :239-294); the
+  positional encoding of that level is temporally tiled and shared by all
+  levels (:286-291);
+* single-frame mode (``eff``) slices the centre frame before decoding
+  (:379-388); otherwise the decoder batch becomes B*T;
+* the decoder consumes memory as levels × (H W) × batch — here re-laid out
+  batch-first [BT, L, HW, C].
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .decoder import TransformerDecoder
+from .deform_encoder import DeformableEncoder, get_valid_ratio
+from .resize import grid_resize_2d, grid_resize_3d
+
+
+def make_interpolated_features(
+    features: List[jnp.ndarray],   # per level [B, T_l, H_l, W_l, C]
+    num_frames: int,
+    level: int = -2,
+) -> List[jnp.ndarray]:
+    """Resample every level onto features[level]'s spatial grid at
+    ``num_frames`` temporal extent (dab_transformer.py:239-294)."""
+    tgt = features[level]
+    b, t, h, w, c = tgt.shape
+    out = []
+    for feat in features:
+        if feat.shape[1] == num_frames:
+            out.append(grid_resize_2d(feat, (h, w)))
+        else:
+            out.append(grid_resize_3d(feat, (num_frames, h, w)))
+    return out
+
+
+class DABTransformer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    num_queries: int = 15
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    num_feature_levels: int = 4
+    enc_n_points: int = 8
+    num_classes: int = 80
+    temp_len: int = 32
+    single_frame: bool = True            # "eff" mode
+    encoder_type: str = "attention"
+    bbox_embed_diff_each_layer: bool = False
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.d_model),
+        )
+        if self.encoder_type == "attention":
+            self.encoder = DeformableEncoder(
+                self.num_encoder_layers, self.d_model, self.dim_feedforward,
+                self.num_feature_levels, self.nhead, self.enc_n_points,
+                self.dropout, jnp.float32, self.remat, name="encoder",
+            )
+        else:
+            raise NotImplementedError(
+                f"encoder_type={self.encoder_type} lands with the SSM/VSS work"
+            )
+        self.decoder = TransformerDecoder(
+            self.num_decoder_layers, self.d_model, self.nhead,
+            self.dim_feedforward, self.dropout, self.num_classes,
+            query_dim=4,
+            bbox_embed_diff_each_layer=self.bbox_embed_diff_each_layer,
+            n_levels=self.num_feature_levels, dtype=jnp.float32,
+            name="decoder",
+        )
+
+    def __call__(
+        self,
+        srcs: List[jnp.ndarray],     # per level [B, T_l, H_l, W_l, C]
+        masks: List[jnp.ndarray],    # per level [B, T_l, H_l, W_l] True=pad
+        poses: List[jnp.ndarray],    # per level like srcs
+        refpoint_embed: jnp.ndarray,  # [NQ, TQ, 4] (TQ = 1 or temp_len)
+        deterministic: bool = True,
+    ):
+        b = srcs[0].shape[0]
+        spatial_shapes = tuple(tuple(s.shape[1:4]) for s in srcs)
+
+        src_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
+        ).astype(jnp.float32)
+        mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(b, -1, self.d_model) + self.level_embed[l][None, None]
+                for l, p in enumerate(poses)
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
+
+        memory = self.encoder(
+            src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+            deterministic,
+        )
+
+        # un-flatten per level
+        mem_levels, pos_levels = [], []
+        start = 0
+        for l, (t, h, w) in enumerate(spatial_shapes):
+            size = t * h * w
+            mem_levels.append(
+                memory[:, start : start + size].reshape(b, t, h, w, self.d_model)
+            )
+            pos_levels.append(
+                pos_flat[:, start : start + size].reshape(b, t, h, w, self.d_model)
+            )
+            start += size
+
+        if self.num_feature_levels > 1:
+            mem_levels = make_interpolated_features(mem_levels, self.temp_len)
+            ref_lvl = len(spatial_shapes) - 2
+            t_l = spatial_shapes[ref_lvl][0]
+            pos_common = jnp.tile(
+                pos_levels[ref_lvl], (1, self.temp_len // t_l, 1, 1, 1)
+            )
+            mask_common = jnp.tile(
+                masks[ref_lvl], (1, self.temp_len // t_l, 1, 1)
+            )
+        else:
+            ref_lvl = 0
+            pos_common = pos_levels[0]
+            mask_common = masks[0]
+
+        t, h, w = mem_levels[0].shape[1:4]
+        mem = jnp.stack(mem_levels, axis=1)           # [B, L, T, H, W, C]
+
+        if self.single_frame:
+            mem = mem[:, :, t // 2 : t // 2 + 1]
+            pos_common = pos_common[:, t // 2 : t // 2 + 1]
+            mask_common = mask_common[:, t // 2 : t // 2 + 1]
+            t_dec = 1
+        else:
+            t_dec = t
+
+        nlev = mem.shape[1]
+        # [B, L, T, H, W, C] -> [B*T, L, HW, C] (b-major, t-minor batch)
+        mem = mem.transpose(0, 2, 1, 3, 4, 5).reshape(
+            b * t_dec, nlev, h * w, self.d_model
+        )
+        pos_dec = jnp.broadcast_to(
+            pos_common.reshape(b, t_dec, 1, h * w, self.d_model),
+            (b, t_dec, nlev, h * w, self.d_model),
+        ).reshape(b * t_dec, nlev, h * w, self.d_model)
+        mask_dec = mask_common.reshape(b * t_dec, h * w)
+
+        # refpoints: [NQ, TQ, 4] -> [B*TQ, NQ, 4]
+        nq, tq = refpoint_embed.shape[:2]
+        refs = jnp.broadcast_to(
+            refpoint_embed[None], (b, nq, tq, 4)
+        ).transpose(0, 2, 1, 3).reshape(b * tq, nq, 4)
+
+        tgt = jnp.zeros((b * t_dec, nq, self.d_model), jnp.float32)
+        hs, cls_hs, references = self.decoder(
+            tgt, mem, mask_dec, pos_dec, refs, (h, w), deterministic
+        )
+        return hs, cls_hs, references
+
+    def decode_boxes(self, hs: jnp.ndarray, references: jnp.ndarray) -> jnp.ndarray:
+        """Box head shared with the decoder's iterative refinement
+        (/root/reference/models/model.py:195-210): coord[l] =
+        sigmoid(bbox_embed(hs[l]) + inverse_sigmoid(reference[l]))."""
+        from ..utils.misc import inverse_sigmoid
+
+        ref = inverse_sigmoid(references)
+        if self.bbox_embed_diff_each_layer:
+            coords = [
+                jax.nn.sigmoid(
+                    self.decoder.run_bbox_embed(l, hs[l])[..., :4] + ref[l]
+                )
+                for l in range(hs.shape[0])
+            ]
+            return jnp.stack(coords)
+        tmp = self.decoder.run_bbox_embed(0, hs)
+        return jax.nn.sigmoid(tmp[..., :4] + ref)

@@ -1,0 +1,165 @@
+"""VideoMAE-style ViT-B video backbone — TPU-native (flax.linen).
+
+Functional parity with /root/reference/models/backbones/vit.py:13-105 and
+vit_utils.py:66-191:
+
+* 3D tubelet patch embed: Conv3d kernel=stride=(tubelet, patch, patch);
+* fixed sinusoid positional table with online spatial BICUBIC
+  re-interpolation (a=-0.75, vit_utils.py:378-392) when the token grid
+  differs from the 14x14 pretrain grid;
+* pre-norm blocks with joint space-time attention, fused qkv with the
+  q/v-bias trick (k has no bias, vit_utils.py:78-98), LayerNorm eps 1e-6;
+* output: final token map [B, t, h, w, C] (the reference replicates it x4
+  as a pseudo-pyramid; we leave the replication to the FPN caller).
+
+TPU-first design: channels-last layout throughout so the qkv/mlp matmuls hit
+the MXU at [B*N, C] x [C, 3C] shapes; attention uses a single einsum chain
+that XLA fuses; dtype policy = bf16 compute / f32 params (replacing torch
+AMP fp16 autocast).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .position_encoding import vit_sinusoid_table
+from .resize import bicubic_resize_2d
+
+
+class ViTAttention(nn.Module):
+    """Joint space-time attention with fused qkv and q/v-only bias."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, N, C]
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.xavier_uniform(), (c, 3 * self.dim)
+        )
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+        else:
+            bias = None
+
+        qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype))
+        if bias is not None:
+            qkv = qkv + bias.astype(self.dtype)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + ViTAttention(
+            self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
+        )(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """ViT backbone.  Input [B, T, H, W, 3] -> token map [B, t, h, w, C]."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    patch_size: int = 16
+    tubelet_size: int = 2
+    pretrain_img_size: int = 224
+    num_frames: int = 16
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, T, H, W, _ = x.shape
+        t = T // self.tubelet_size
+        h, w = H // self.patch_size, W // self.patch_size
+
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.tubelet_size, self.patch_size, self.patch_size),
+            strides=(self.tubelet_size, self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))                              # [B, t, h, w, C]
+
+        # Fixed sinusoid table over the pretrain grid, spatially re-interpolated
+        # online (bicubic, per frame) when the runtime grid differs.
+        grid = self.pretrain_img_size // self.patch_size
+        t0 = self.num_frames // self.tubelet_size
+        table = vit_sinusoid_table(t0 * grid * grid, self.embed_dim)
+        pos = table.reshape(t0, grid, grid, self.embed_dim)
+        if (h, w) != (grid, grid):
+            pos = bicubic_resize_2d(pos, (h, w))
+        pos = jax.lax.stop_gradient(pos)
+
+        x = x + pos.astype(self.dtype)[None]
+        x = x.reshape(b, t * h * w, self.embed_dim)
+
+        block = ViTBlock
+        if self.remat:
+            block = nn.remat(ViTBlock)
+        for i in range(self.depth):
+            x = block(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.qkv_bias,
+                self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return x.reshape(b, t, h, w, self.embed_dim)
+
+
+def build_vit(spec, dtype=jnp.float32, name=None, remat=False) -> ViT:
+    """spec: ModelSpec.vit (ViTSpec).  Config mapping mirrors
+    /root/reference/models/backbones/vit.py:19-70."""
+    return ViT(
+        name=name,
+        embed_dim=spec.embed_dim,
+        depth=spec.depth,
+        num_heads=spec.num_heads,
+        mlp_ratio=spec.mlp_ratio,
+        qkv_bias=spec.qkv_bias,
+        patch_size=spec.patch_size,
+        tubelet_size=spec.tubelet_size,
+        pretrain_img_size=spec.pretrain_img_size,
+        num_frames=spec.num_frames,
+        dtype=dtype,
+        remat=remat,
+    )

@@ -1,0 +1,138 @@
+"""Import helpers for using the PyTorch reference as a golden test oracle.
+
+The reference at /root/reference is CPU-runnable for the matcher, criterion,
+ViT backbone and decoder layers once its unavailable imports are stubbed:
+``torchvision`` (imported but unused at module scope), ``timm`` (only
+``trunc_normal_``/``drop_path``/``to_2tuple``/``DropPath``/``register_model``
+are used), the CUDA extension ``MultiScaleDeformableAttention`` and the
+external ``VideoMamba`` package (only reached for ssm encoder types).
+
+This module is TEST-ONLY tooling: the framework itself never imports the
+reference.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_reference(need_model_stubs: bool = False):
+    """Make /root/reference importable; returns after sys.path/stub setup."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    import numpy as np
+    import torch
+
+    # numpy 2.x compat for the reference's numpy-1.x spellings
+    if not hasattr(np, "float_"):
+        np.float_ = np.float64
+    if not hasattr(np, "NAN"):
+        np.NAN = np.nan
+    if not hasattr(np, "bool"):
+        np.bool = bool
+
+    if "torchvision" not in sys.modules:
+        tv = _stub_module("torchvision")
+        tv.__version__ = "0.15"
+        tv.__path__ = []  # mark as package so submodule stubs resolve
+        ops_mod = _stub_module("torchvision.ops")
+        boxes_mod = _stub_module("torchvision.ops.boxes")
+
+        def box_area(boxes):
+            return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+        boxes_mod.box_area = box_area
+        ops_mod.boxes = boxes_mod
+        tv.ops = ops_mod
+        models_mod = _stub_module("torchvision.models")
+        utils_mod = _stub_module("torchvision.models._utils")
+
+        class IntermediateLayerGetter(torch.nn.ModuleDict):
+            def __init__(self, model, return_layers):
+                super().__init__()
+                self.model = model
+                self.return_layers = return_layers
+
+        utils_mod.IntermediateLayerGetter = IntermediateLayerGetter
+        models_mod._utils = utils_mod
+        tv.models = models_mod
+
+    if "timm" not in sys.modules:
+        timm = _stub_module("timm")
+        timm_models = _stub_module("timm.models")
+        registry = _stub_module("timm.models.registry")
+        layers = _stub_module("timm.models.layers")
+
+        def register_model(fn=None, *a, **k):
+            return fn if fn is not None else (lambda f: f)
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                tensor.normal_(mean, std).clamp_(a, b)
+            return tensor
+
+        def drop_path(x, drop_prob=0.0, training=False, scale_by_keep=True):
+            if drop_prob == 0.0 or not training:
+                return x
+            keep = 1 - drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x * mask / keep
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                return drop_path(x, self.drop_prob, self.training)
+
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        registry.register_model = register_model
+        layers.trunc_normal_ = trunc_normal_
+        layers.drop_path = drop_path
+        layers.DropPath = DropPath
+        layers.to_2tuple = to_2tuple
+        timm.models = timm_models
+        timm_models.registry = registry
+        timm_models.layers = layers
+        sys.modules["timm.models.layers"] = layers
+        sys.modules["timm.models.registry"] = registry
+
+    if need_model_stubs:
+        if "MultiScaleDeformableAttention" not in sys.modules:
+            msda = _stub_module("MultiScaleDeformableAttention")
+
+            def _unavailable(*a, **k):
+                raise RuntimeError("CUDA extension not available in oracle mode")
+
+            msda.ms_deform_attn_forward = _unavailable
+            msda.ms_deform_attn_backward = _unavailable
+
+        if "VideoMamba" not in sys.modules:
+            _stub_module("VideoMamba")
+            _stub_module("VideoMamba.mamba")
+            _stub_module("VideoMamba.mamba.mamba_ssm")
+            _stub_module("VideoMamba.mamba.mamba_ssm.modules")
+            simple = _stub_module("VideoMamba.mamba.mamba_ssm.modules.mamba_simple")
+
+            class Mamba(torch.nn.Module):
+                def __init__(self, *a, **k):
+                    super().__init__()
+
+            simple.Mamba = Mamba
+
+        # VSS.py imports from models.detr.common_utils_mbyolo which imports
+        # selective_scan_cuda_* lazily inside functions — module import is ok.
