@@ -1,0 +1,230 @@
+"""Reference (PyTorch) checkpoint → flax param-tree conversion.
+
+Maps the reference DETR state_dict names (see /root/reference/models/
+model.py, dab_transformer.py, backbone_3d_builder.py, backbones/vit.py)
+onto this framework's flax tree.  Layout rules:
+
+* Linear  weight [O, I]            -> Dense kernel [I, O] (transpose)
+* Conv3d  weight [O, I, t, h, w]   -> Conv kernel [t, h, w, I, O]
+* Conv2d  weight [O, I, h, w]      -> Conv kernel [h, w, I, O]
+* Conv2d 1x1 (cls k/v_proj)        -> Dense kernel [I, O]
+* ConvTranspose3d [I, O, t, h, w]  -> ConvTranspose kernel [t, h, w, I, O]
+  (flax's default transpose_kernel=False convention needs the kernel
+  spatially FLIPPED relative to torch; with kernel==stride==(1,2,2) the
+  flip is over the 2x2 spatial window)
+* LayerNorm weight/bias            -> scale/bias
+
+The class decoder layer's three registered conv_blocks share one module
+object in the reference (dab_transformer.py:1017-1018) — conv_blocks.0
+is taken; its unused ``q_proj`` is dropped.
+
+Pure numpy in/out: pass ``state_dict`` as {name: np.ndarray}.  Use
+``load_torch_state_dict`` to read .pth files (imports torch lazily).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("module", "model", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        k = k.replace("module.", "", 1) if k.startswith("module.") else k
+        out[k] = v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value)
+
+
+def _linear(tree, dst, sd, src, bias=True):
+    _set(tree, f"{dst}/kernel", sd[f"{src}.weight"].T)
+    if bias and f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _layernorm(tree, dst, sd, src):
+    _set(tree, f"{dst}/scale", sd[f"{src}.weight"])
+    _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _channel_ln(tree, dst, sd, src):
+    # our ChannelLayerNorm nests a plain LayerNorm under LayerNorm_0
+    _set(tree, f"{dst}/LayerNorm_0/scale", sd[f"{src}.weight"])
+    _set(tree, f"{dst}/LayerNorm_0/bias", sd[f"{src}.bias"])
+
+
+def _conv3d(tree, dst, sd, src, bias=None):
+    w = sd[f"{src}.weight"]                       # [O, I, t, h, w]
+    _set(tree, f"{dst}/kernel", w.transpose(2, 3, 4, 1, 0))
+    if bias is None:
+        bias = f"{src}.bias" in sd
+    if bias:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _convtranspose3d(tree, dst, sd, src):
+    w = sd[f"{src}.weight"]                       # [I, O, t, h, w]
+    w = w.transpose(2, 3, 4, 0, 1)                # [t, h, w, I, O]
+    w = w[::-1, ::-1, ::-1].copy()                # flip for flax convention
+    _set(tree, f"{dst}/kernel", w)
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _conv2d_as_dense(tree, dst, sd, src):
+    w = sd[f"{src}.weight"]                       # [O, I, 1, 1]
+    _set(tree, f"{dst}/kernel", w[:, :, 0, 0].T)
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _conv2d(tree, dst, sd, src):
+    w = sd[f"{src}.weight"]                       # [O, I, h, w]
+    _set(tree, f"{dst}/kernel", w.transpose(2, 3, 1, 0))
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _mlp(tree, dst, sd, src, n_layers):
+    for i in range(n_layers):
+        _linear(tree, f"{dst}/layers_{i}", sd, f"{src}.layers.{i}")
+
+
+def convert_vit_body(sd: Dict[str, np.ndarray], tree: dict, dst: str,
+                     prefix: str = "", depth: int = 12):
+    """ViT backbone params.  prefix: reference name prefix (e.g.
+    'backbone.0.body.' inside a DETR checkpoint, '' for a raw VideoMAE
+    checkpoint)."""
+    p = prefix
+    _conv3d(tree, f"{dst}/patch_embed", sd, f"{p}patch_embed.proj")
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        d = f"{dst}/blocks_{i}"
+        _layernorm(tree, f"{d}/norm1", sd, f"{b}.norm1")
+        _layernorm(tree, f"{d}/norm2", sd, f"{b}.norm2")
+        _set(tree, f"{d}/attn/qkv_kernel", sd[f"{b}.attn.qkv.weight"].T)
+        _set(tree, f"{d}/attn/q_bias", sd[f"{b}.attn.q_bias"])
+        _set(tree, f"{d}/attn/v_bias", sd[f"{b}.attn.v_bias"])
+        _linear(tree, f"{d}/attn/proj", sd, f"{b}.attn.proj")
+        _linear(tree, f"{d}/mlp_fc1", sd, f"{b}.mlp.fc1")
+        _linear(tree, f"{d}/mlp_fc2", sd, f"{b}.mlp.fc2")
+    _layernorm(tree, f"{dst}/norm", sd, f"{p}norm")
+
+
+def convert_lateral_convs(sd, tree, dst_prefix, src_prefix):
+    """FPN branches (backbone_3d_builder.py:139-180).  Sequential indices
+    per scale: 4.0 -> [ConvT, LN, GELU, ConvT, Conv, LN, Conv];
+    2.0 -> [ConvT, Conv, LN, Conv]; 1.0 -> [Conv, LN, Conv];
+    0.5 -> [MaxPool, Conv, LN, Conv]."""
+    layouts = {
+        0: dict(up1=0, up1_norm=1, up2=3, proj1=4, proj_norm=5, proj2=6),
+        1: dict(up1=0, proj1=1, proj_norm=2, proj2=3),
+        2: dict(proj1=0, proj_norm=1, proj2=2),
+        3: dict(proj1=1, proj_norm=2, proj2=3),
+    }
+    for lvl, layout in layouts.items():
+        src = f"{src_prefix}.{lvl}"
+        dst = f"{dst_prefix}_{lvl}"
+        for name, idx in layout.items():
+            s = f"{src}.{idx}"
+            if name.startswith("up") and not name.endswith("norm"):
+                _convtranspose3d(tree, f"{dst}/{name}", sd, s)
+            elif name.endswith("norm"):
+                _channel_ln(tree, f"{dst}/{name}", sd, s)
+            else:
+                _conv3d(tree, f"{dst}/{name}", sd, s)
+
+
+def convert_encoder(sd, tree, dst, src, n_layers):
+    for i in range(n_layers):
+        s = f"{src}.layers.{i}"
+        d = f"{dst}/layers_{i}"
+        for proj in ("sampling_offsets", "attention_weights", "value_proj",
+                     "output_proj"):
+            _linear(tree, f"{d}/self_attn/{proj}", sd, f"{s}.self_attn.{proj}")
+        _layernorm(tree, f"{d}/norm1", sd, f"{s}.norm1")
+        _layernorm(tree, f"{d}/norm2", sd, f"{s}.norm2")
+        _linear(tree, f"{d}/linear1", sd, f"{s}.linear1")
+        _linear(tree, f"{d}/linear2", sd, f"{s}.linear2")
+
+
+def convert_decoder(sd, tree, dst, src, n_layers, bbox_diff_each_layer=False):
+    for i in range(n_layers):
+        s = f"{src}.layers.{i}"
+        d = f"{dst}/layers_{i}"
+        for proj in ("sa_qcontent_proj", "sa_qpos_proj", "sa_kcontent_proj",
+                     "sa_kpos_proj", "sa_v_proj", "lvl_w_embed",
+                     "ca_qcontent_proj", "ca_qpos_proj", "ca_kcontent_proj",
+                     "ca_kpos_proj", "ca_v_proj", "ca_qpos_sine_proj"):
+            if f"{s}.{proj}.weight" in sd:          # ca_qpos_proj pruned l>0
+                _linear(tree, f"{d}/{proj}", sd, f"{s}.{proj}")
+        _linear(tree, f"{d}/self_attn/out_proj", sd, f"{s}.self_attn.out_proj")
+        _linear(tree, f"{d}/cross_attn/out_proj", sd, f"{s}.cross_attn.out_proj")
+        for nm in ("norm1", "norm2", "norm3", "norm_"):
+            _layernorm(tree, f"{d}/{nm}", sd, f"{s}.{nm}")
+        _linear(tree, f"{d}/linear1", sd, f"{s}.linear1")
+        _linear(tree, f"{d}/linear2", sd, f"{s}.linear2")
+
+        s = f"{src}.cls_layers.{i}"
+        d = f"{dst}/cls_layers_{i}"
+        for nm in ("cls_linear1", "cls_linear2", "cls_linear1_", "cls_linear2_",
+                   "cls_qpos_sine_proj"):
+            _linear(tree, f"{d}/{nm}", sd, f"{s}.{nm}")
+        for nm in ("cls_norm", "cls_norm_", "conv_norm", "norm1"):
+            _layernorm(tree, f"{d}/{nm}", sd, f"{s}.{nm}")
+        _conv2d_as_dense(tree, f"{d}/k_proj", sd, f"{s}.k_proj")
+        _conv2d_as_dense(tree, f"{d}/v_proj", sd, f"{s}.v_proj")
+        _linear(tree, f"{d}/self_attn/out_proj", sd, f"{s}.self_attn.out_proj")
+        _linear(tree, f"{d}/cross_attn/out_proj", sd, f"{s}.cross_attn.out_proj")
+        cb = f"{s}.conv_blocks.0"                    # shared module x3
+        _conv2d(tree, f"{d}/conv_block/conv1", sd, f"{cb}.conv1")
+        _layernorm(tree, f"{d}/conv_block/norm", sd, f"{cb}.norm")
+        _linear(tree, f"{d}/conv_block/conv2", sd, f"{cb}.conv2")
+        _linear(tree, f"{d}/conv_block/conv3", sd, f"{cb}.conv3")
+
+    _layernorm(tree, f"{dst}/norm", sd, f"{src}.norm")
+    _layernorm(tree, f"{dst}/cls_norm2", sd, f"{src}.cls_norm2")
+    _set(tree, f"{dst}/class_queries", sd[f"{src}.class_queries.weight"])
+    _mlp(tree, f"{dst}/query_scale", sd, f"{src}.query_scale", 2)
+    _mlp(tree, f"{dst}/ref_point_head", sd, f"{src}.ref_point_head", 2)
+    if f"{src}.ref_anchor_head.layers.0.weight" in sd:
+        _mlp(tree, f"{dst}/ref_anchor_head", sd, f"{src}.ref_anchor_head", 2)
+    if bbox_diff_each_layer:
+        for i in range(n_layers):
+            _mlp(tree, f"{dst}/bbox_embed_{i}", sd, f"{src}.bbox_embed.{i}", 3)
+    else:
+        _mlp(tree, f"{dst}/bbox_embed", sd, f"{src}.bbox_embed", 3)
+
+
+def convert_detr_checkpoint(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """Full reference DETR checkpoint -> flax params dict (ViT backbone)."""
+    m = cfg.CONFIG.MODEL
+    tree: dict = {}
+    convert_vit_body(sd, tree, "backbone/body", "backbone.0.body.",
+                     depth=cfg.CONFIG.ViT.DEPTH)
+    convert_lateral_convs(sd, tree, "backbone/lateral_convs",
+                          "backbone.0.lateral_convs")
+    _set(tree, "transformer/level_embed", sd["transformer.level_embed"])
+    convert_encoder(sd, tree, "transformer/encoder", "transformer.encoder",
+                    m.ENC_LAYERS)
+    convert_decoder(sd, tree, "transformer/decoder", "transformer.decoder",
+                    m.DEC_LAYERS, m.BBOX_EMBED_DIFF_EACH_LAYER)
+    _linear(tree, "class_embed_b", sd, "class_embed_b")
+    _set(tree, "refpoint_embed", sd["refpoint_embed.weight"])
+    return {"params": tree}

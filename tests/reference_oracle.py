@@ -55,6 +55,14 @@ def install_reference(need_model_stubs: bool = False):
         ops_mod.boxes = boxes_mod
         tv.ops = ops_mod
         models_mod = _stub_module("torchvision.models")
+        models_mod.__path__ = []
+        video_mod = _stub_module("torchvision.models.video")
+        video_resnet_mod = _stub_module("torchvision.models.video.resnet")
+        video_resnet_mod.VideoResNet = type(
+            "VideoResNet", (torch.nn.Module,), {}
+        )
+        video_mod.resnet = video_resnet_mod
+        models_mod.video = video_mod
         utils_mod = _stub_module("torchvision.models._utils")
 
         class IntermediateLayerGetter(torch.nn.ModuleDict):
@@ -100,6 +108,8 @@ def install_reference(need_model_stubs: bool = False):
         def to_2tuple(x):
             return x if isinstance(x, tuple) else (x, x)
 
+        timm.create_model = lambda *a, **k: None
+        timm_models.create_model = timm.create_model
         registry.register_model = register_model
         layers.trunc_normal_ = trunc_normal_
         layers.drop_path = drop_path
@@ -122,10 +132,13 @@ def install_reference(need_model_stubs: bool = False):
             msda.ms_deform_attn_backward = _unavailable
 
         if "VideoMamba" not in sys.modules:
-            _stub_module("VideoMamba")
-            _stub_module("VideoMamba.mamba")
-            _stub_module("VideoMamba.mamba.mamba_ssm")
-            _stub_module("VideoMamba.mamba.mamba_ssm.modules")
+            for name in (
+                "VideoMamba", "VideoMamba.mamba", "VideoMamba.mamba.mamba_ssm",
+                "VideoMamba.mamba.mamba_ssm.modules",
+                "VideoMamba.videomamba", "VideoMamba.videomamba.video_sm",
+                "VideoMamba.videomamba.video_sm.models",
+            ):
+                _stub_module(name).__path__ = []
             simple = _stub_module("VideoMamba.mamba.mamba_ssm.modules.mamba_simple")
 
             class Mamba(torch.nn.Module):
@@ -134,5 +147,19 @@ def install_reference(need_model_stubs: bool = False):
 
             simple.Mamba = Mamba
 
-        # VSS.py imports from models.detr.common_utils_mbyolo which imports
-        # selective_scan_cuda_* lazily inside functions — module import is ok.
+            vm = _stub_module("VideoMamba.videomamba.video_sm.models.videomamba")
+            vm.videomamba_tiny = lambda *a, **k: None
+            vm.videomamba_small = lambda *a, **k: None
+            vm.videomamba_middle = lambda *a, **k: None
+
+        # common_utils_mbyolo unconditionally imports selective_scan_cuda in
+        # its fallback branch — stub both extension modules.
+        for name in ("selective_scan_cuda_core", "selective_scan_cuda"):
+            if name not in sys.modules:
+                mod = _stub_module(name)
+
+                def _no_cuda(*a, **k):
+                    raise RuntimeError("CUDA extension not available")
+
+                mod.fwd = _no_cuda
+                mod.bwd = _no_cuda
