@@ -63,6 +63,61 @@ def install_reference(need_model_stubs: bool = False):
         )
         video_mod.resnet = video_resnet_mod
         models_mod.video = video_mod
+        # functional transforms used by datasets/video_transforms.py — real
+        # implementations so dataset parity tests can run the reference
+        transforms_mod = _stub_module("torchvision.transforms")
+        func_mod = _stub_module("torchvision.transforms.functional")
+        import random as _random
+
+        import numpy as _np
+        from PIL import Image as _PILImage
+
+        def t_crop(img, top, left, height, width):
+            return img.crop((left, top, left + width, top + height))
+
+        def t_hflip(img):
+            return img.transpose(_PILImage.FLIP_LEFT_RIGHT)
+
+        def t_resize(img, size):
+            if isinstance(size, int):
+                w, h = img.size
+                if w < h:
+                    size = (int(size * h / w), size)
+                else:
+                    size = (size, int(size * w / h))
+            return img.resize(size[::-1], _PILImage.BILINEAR)
+
+        def t_to_tensor(img):
+            arr = _np.asarray(img)
+            if arr.dtype == _np.uint8:
+                arr = arr.astype(_np.float32) / 255.0
+            return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+        def t_normalize(tensor, mean, std):
+            mean = torch.as_tensor(mean, dtype=tensor.dtype).view(-1, 1, 1)
+            std = torch.as_tensor(std, dtype=tensor.dtype).view(-1, 1, 1)
+            return (tensor - mean) / std
+
+        func_mod.crop = t_crop
+        func_mod.hflip = t_hflip
+        func_mod.resize = t_resize
+        func_mod.to_tensor = t_to_tensor
+        func_mod.normalize = t_normalize
+        func_mod.pad = lambda img, padding: img
+
+        class _RandomCrop:
+            @staticmethod
+            def get_params(img, output_size):
+                h, w = output_size
+                top = _random.randint(0, img.height - h)
+                left = _random.randint(0, img.width - w)
+                return top, left, h, w
+
+        transforms_mod.RandomCrop = _RandomCrop
+        transforms_mod.RandomErasing = type("RandomErasing", (), {})
+        transforms_mod.functional = func_mod
+        tv.transforms = transforms_mod
+
         utils_mod = _stub_module("torchvision.models._utils")
 
         class IntermediateLayerGetter(torch.nn.ModuleDict):
