@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Headline benchmark: AVA 2.2 ViT-B evaluation throughput (clips/sec/chip).
+
+Runs the flagship model (full ViT-B backbone, 6+6 transformer, 80 classes)
+at the real AVA eval resolution (16 frames decoded -> 8 tubelets,
+256x320) in bf16 on the attached TPU chip and prints ONE JSON line.
+
+``vs_baseline``: the reference publishes no throughput (BASELINE.md), so
+the baseline is an ESTIMATE of the PyTorch reference on one A100:
+~45 clips/s (ViT-B fp16 inference with the CUDA deformable-attention
+extension, batch 8).  vs_baseline = ours / 45.  The BASELINE.json
+north-star (>=5x A100/chip) corresponds to vs_baseline >= 5.
+"""
+
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_CLIPS_PER_SEC = 45.0
+
+
+def main():
+    from class_query_vad_tpu.config import get_cfg_custom
+    from class_query_vad_tpu.models import build_model
+
+    cfg = get_cfg_custom("/root/reference/configuration/AVA22_ViT-B.yaml")
+    model = build_model(cfg, dtype=jnp.bfloat16)
+
+    B, T, H, W = 8, 16, 256, 320
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.normal(size=(B, T, H, W, 3)), jnp.float32)
+    mask = jnp.zeros((B, H, W), bool)
+
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), pixels, mask, True
+    )
+
+    fwd = jax.jit(lambda p, px, mk: model.apply(p, px, mk, True))
+    out = fwd(params, pixels, mask)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, pixels, mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    clips_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "ava_vitb_eval_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Validation loops: forward + postprocess + per-rank txt protocol + mAP.
+
+Reference semantics (/root/reference/utils/video_action_recognition.py):
+
+* per batch: forward, postprocess to absolute boxes/scores, buffer per-rank
+  predictions and ground truths;
+* write ``{rank}.txt`` / ``GT_{rank}.txt`` with the shared line formats
+  (:231-240): detection row = [x1, y1, x2, y2, s_1..s_NC, p_b]; GT row =
+  raw_boxes row + label vector;
+* rank 0 loads all ranks' files into the dataset evaluator and computes
+  f-mAP (+ v-mAP for tube datasets) (:249-261);
+* AVA keyframe slicing (:140-155); UCF/JHMDB flatten (B, T) and strip the
+  front/end pads, frame keys = f"{video}_{frame_idx:03d}" (:623-660).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fmt_line(key: str, vals) -> str:
+    return "{} {}\n".format(key, [float(v) for v in vals])
+
+
+class EvalBuffers:
+    def __init__(self):
+        self.det_lines: List[str] = []
+        self.gt_lines: List[str] = []
+
+    def write(self, res_dir: str, rank: int):
+        os.makedirs(res_dir, exist_ok=True)
+        with open(os.path.join(res_dir, f"{rank}.txt"), "w") as f:
+            f.writelines(self.det_lines)
+        with open(os.path.join(res_dir, f"GT_{rank}.txt"), "w") as f:
+            f.writelines(self.gt_lines)
+
+
+def buffer_ava(buffers: EvalBuffers, scores, boxes, binary, meta):
+    """scores [B, NQ, NC], boxes [B, NQ, 4] abs xyxy, binary [B, NQ, 1]."""
+    for b, m in enumerate(meta):
+        frame_id = m["image_id"][0]
+        for q in range(scores.shape[1]):
+            buffers.det_lines.append(
+                _fmt_line(
+                    frame_id,
+                    list(boxes[b, q]) + list(scores[b, q]) + list(binary[b, q]),
+                )
+            )
+        for row, label in zip(m["raw_boxes"], m["labels"]):
+            buffers.gt_lines.append(_fmt_line(frame_id, list(row) + list(label)))
+
+
+def buffer_frames(buffers: EvalBuffers, scores, boxes, binary, meta,
+                  num_classes: int):
+    """scores [B, T, NQ, NC]; tube datasets (video_action_recognition.py
+    :560-660): strip pads, one-hot GT labels, frame keys from raw_boxes."""
+    B, T, NQ = scores.shape[:3]
+    for b, m in enumerate(meta):
+        if len(m["raw_boxes"]) == 0:
+            continue
+        frame_id = m["image_id"][0]
+        fp = int(m.get("front_pad", 0))
+        ep = int(m.get("end_pad", 0))
+        raw = np.asarray(m["raw_boxes"]).reshape(-1, T, 6)[:, fp : T - ep]
+        labels = np.asarray(m["labels"]).reshape(-1, T)[:, fp : T - ep]
+        n_actors = raw.shape[0]
+        for trel in range(T - fp - ep):
+            t = trel + fp
+            frame_idx = int(raw[0, trel, 1])
+            key = f"{frame_id}_{frame_idx:03d}"
+            for q in range(NQ):
+                buffers.det_lines.append(
+                    _fmt_line(
+                        key,
+                        list(boxes[b, t, q]) + list(scores[b, t, q])
+                        + list(binary[b, t, q]),
+                    )
+                )
+            for a in range(n_actors):
+                onehot = np.zeros(num_classes + 1, np.float32)
+                onehot[int(labels[a, trel])] = 1.0
+                buffers.gt_lines.append(
+                    _fmt_line(key, list(raw[a, trel]) + list(onehot))
+                )
+
+
+def run_validation(
+    cfg,
+    model,
+    params,
+    postprocess: Callable,
+    loader,
+    rank: int = 0,
+    world_size: int = 1,
+    barrier: Callable = lambda: None,
+    forward_fn=None,
+):
+    """Returns (mAP, metrics[, v_mAP]) on rank 0; ({}, ...) elsewhere."""
+    name = cfg.CONFIG.DATA.DATASET_NAME
+    nc = cfg.CONFIG.DATA.NUM_CLASSES
+    res_dir = os.path.join(cfg.CONFIG.LOG.BASE_PATH, cfg.CONFIG.LOG.RES_DIR)
+    buffers = EvalBuffers()
+
+    if forward_fn is None:
+        forward_fn = jax.jit(
+            lambda p, px, mk: model.apply(p, px, mk, True),
+            static_argnums=(),
+        )
+    post_fn = jax.jit(postprocess)
+
+    for batch, meta in loader:
+        out = forward_fn(params, jnp.asarray(batch["pixels"]),
+                         jnp.asarray(batch["mask"]))
+        sizes = jnp.asarray(
+            np.stack([np.asarray(m["size"], np.float32) for m in meta])
+        )
+        scores, boxes, binary = post_fn(out, sizes)
+        scores, boxes, binary = map(np.asarray, (scores, boxes, binary))
+        if name == "ava":
+            buffer_ava(buffers, scores, boxes, binary, meta)
+        else:
+            buffer_frames(buffers, scores, boxes, binary, meta, nc)
+
+    buffers.write(res_dir, rank)
+    barrier()
+
+    if rank != 0:
+        return None
+
+    det_files = [os.path.join(res_dir, f"{r}.txt") for r in range(world_size)]
+    gt_files = [os.path.join(res_dir, f"GT_{r}.txt") for r in range(world_size)]
+
+    if name == "ava":
+        from ..evaluates import STDetectionEvaluaterAVA
+
+        ev = STDetectionEvaluaterAVA(
+            cfg.CONFIG.DATA.LABEL_PATH, tiou_thresholds=[0.5], class_num=nc
+        )
+        ev.load_GT_from_path(gt_files)
+        ev.load_detection_from_path(det_files)
+        mAP, metrics = ev.evaluate()
+        return {"mAP": mAP[0], "metrics": metrics}
+    elif name == "ucf":
+        from ..evaluates import STDetectionEvaluaterUCF
+
+        ev = STDetectionEvaluaterUCF(
+            tiou_thresholds=[0.5], class_num=nc,
+            query_num=cfg.CONFIG.MODEL.QUERY_NUM,
+        )
+    else:
+        from ..evaluates import STDetectionEvaluaterJHMDB
+
+        ev = STDetectionEvaluaterJHMDB(
+            tiou_thresholds=[0.5], class_num=nc,
+            query_num=cfg.CONFIG.MODEL.QUERY_NUM,
+        )
+    ev.load_GT_from_path(gt_files)
+    ev.load_detection_from_path(det_files)
+    mAP, metrics, v_mAP, v_metrics = ev.evaluate()
+    return {"mAP": mAP[0], "v_mAP": v_mAP[0], "metrics": metrics,
+            "v_metrics": v_metrics}

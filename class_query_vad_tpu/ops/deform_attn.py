@@ -112,8 +112,17 @@ def ms_deform_attn_3d_xla(
     spatial_shapes: Sequence[Tuple[int, int, int]],
     sampling_locations: jnp.ndarray,          # [B, Q, H, L, P, 3] (x, y, t)
     attention_weights: jnp.ndarray,           # [B, Q, H, L, P]
+    query_chunk: int = 4096,
 ) -> jnp.ndarray:
-    """Pure-XLA 3D multi-scale deformable attention. Returns [B, Q, H*D]."""
+    """Pure-XLA 3D multi-scale deformable attention. Returns [B, Q, H*D].
+
+    Queries are processed in ``query_chunk``-sized sequential chunks
+    (lax.map): the 8-corner gathers materialize [B, CQ, H, P, D]
+    intermediates, and at encoder scale (Q = Σ t·h·w ≈ 13.6k, 6 layers)
+    unchunked temps blow past HBM — the CUDA reference has the same
+    structure with im2col_step=64 batch chunking
+    (ops/src/cuda/ms_deform_attn_cuda_t.cu:20-80).
+    """
     bsz, s_total, nheads, depth = value.shape
     nlevels = len(spatial_shapes)
     assert sampling_locations.shape[3] == nlevels
@@ -121,22 +130,35 @@ def ms_deform_attn_3d_xla(
     sizes = [t * h * w for (t, h, w) in spatial_shapes]
     assert sum(sizes) == s_total, (sizes, s_total)
 
-    out = jnp.zeros(
-        sampling_locations.shape[:2] + (nheads, depth), dtype=value.dtype
-    )
-    start = 0
-    for lvl, shape in enumerate(spatial_shapes):
-        v_l = jax.lax.slice_in_dim(value, start, start + sizes[lvl], axis=1)
-        out = out + _sample_level(
-            v_l,
-            shape,
-            sampling_locations[:, :, :, lvl],
-            attention_weights[:, :, :, lvl],
-        )
-        start += sizes[lvl]
+    q = sampling_locations.shape[1]
 
-    b, q = out.shape[:2]
-    return out.reshape(b, q, nheads * depth)
+    def sample_all_levels(loc, wgt):
+        out = jnp.zeros(loc.shape[:2] + (nheads, depth), dtype=value.dtype)
+        start = 0
+        for lvl, shape in enumerate(spatial_shapes):
+            v_l = jax.lax.slice_in_dim(value, start, start + sizes[lvl], axis=1)
+            out = out + _sample_level(v_l, shape, loc[:, :, :, lvl],
+                                      wgt[:, :, :, lvl])
+            start += sizes[lvl]
+        return out
+
+    if q <= query_chunk:
+        out = sample_all_levels(sampling_locations, attention_weights)
+        return out.reshape(bsz, q, nheads * depth)
+
+    pad = (-q) % query_chunk
+    loc = jnp.pad(sampling_locations, ((0, 0), (0, pad)) + ((0, 0),) * 4)
+    wgt = jnp.pad(attention_weights, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    n_chunks = (q + pad) // query_chunk
+    loc = loc.reshape((bsz, n_chunks, query_chunk) + loc.shape[2:])
+    wgt = wgt.reshape((bsz, n_chunks, query_chunk) + wgt.shape[2:])
+
+    out = jax.lax.map(
+        lambda lw: sample_all_levels(lw[0], lw[1]),
+        (jnp.moveaxis(loc, 1, 0), jnp.moveaxis(wgt, 1, 0)),
+    )                                          # [n_chunks, B, CQ, H, D]
+    out = jnp.moveaxis(out, 0, 1).reshape(bsz, q + pad, nheads * depth)
+    return out[:, :q]
 
 
 def ms_deform_attn_3d(

@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    initialize_distributed,
+    replicate,
+    replicated,
+    shard_batch,
+)
