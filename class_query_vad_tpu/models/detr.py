@@ -46,7 +46,31 @@ class DETR(nn.Module):
                 s, self.hidden_dim, self.dtype, name="backbone"
             )
         else:
-            raise NotImplementedError("CSN backbone lands next")
+            from .csn import build_csn
+
+            self.backbone = build_csn(
+                s.backbone_name, dtype=self.dtype,
+                remat=s.gradient_checkpointing, last_stride=s.last_stride,
+                module_name="backbone",
+            )
+            # per-level input projections + one extra stride-2 level
+            # (reference models/model.py:62-85)
+            projs = []
+            for i in range(3):
+                projs.append(
+                    (nn.Conv(self.hidden_dim, (1, 1, 1), dtype=jnp.float32,
+                             name=f"input_proj_{i}_conv"),
+                     nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
+                                  name=f"input_proj_{i}_norm"))
+                )
+            projs.append(
+                (nn.Conv(self.hidden_dim, (3, 3, 3), strides=(1, 2, 2),
+                         padding=1, dtype=jnp.float32,
+                         name="input_proj_3_conv"),
+                 nn.GroupNorm(32, epsilon=1e-5, dtype=jnp.float32,
+                              name="input_proj_3_norm"))
+            )
+            self.input_proj = projs
 
         self.transformer = DABTransformer(
             d_model=s.d_model,
@@ -77,7 +101,19 @@ class DETR(nn.Module):
 
     def __call__(self, pixels, mask, deterministic: bool = True) -> Dict:
         """pixels [B, T, H, W, 3]; mask [B, H, W] True=pad."""
-        srcs, masks, poses = self.backbone(pixels, mask)
+        if self.spec.is_vit:
+            srcs, masks, poses = self.backbone(pixels, mask)
+        else:
+            from .backbone import level_masks_and_poses
+
+            feats = self.backbone(pixels)
+            srcs = []
+            for l, feat in enumerate(feats[1:]):           # layers 2..4
+                conv, norm = self.input_proj[l]
+                srcs.append(norm(conv(feat.astype(jnp.float32))))
+            conv, norm = self.input_proj[3]                # extra level
+            srcs.append(norm(conv(feats[-1].astype(jnp.float32))))
+            masks, poses = level_masks_and_poses(srcs, mask, self.hidden_dim)
 
         tq = 1 if self.single_frame else self.temporal_length
         refs = self.refpoint_embed.reshape(self.num_queries, tq, 4)

@@ -47,6 +47,7 @@ class ModelSpec:
     backbone_name: str = "ViT"
     bbox_embed_diff_each_layer: bool = False
     gradient_checkpointing: bool = False
+    last_stride: bool = True
     vit: ViTSpec = ViTSpec()
 
     @property
@@ -77,6 +78,7 @@ def spec_from_cfg(cfg) -> ModelSpec:
         backbone_name=m.BACKBONE_NAME,
         bbox_embed_diff_each_layer=m.BBOX_EMBED_DIFF_EACH_LAYER,
         gradient_checkpointing=bool(cfg.CONFIG.GRADIENT_CHECKPOINTING),
+        last_stride=bool(m.LAST_STRIDE),
         vit=ViTSpec(
             embed_dim=v.EMBED_DIM,
             depth=v.DEPTH,

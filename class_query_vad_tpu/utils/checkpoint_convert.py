@@ -212,14 +212,88 @@ def convert_decoder(sd, tree, dst, src, n_layers, bbox_diff_each_layer=False):
         _mlp(tree, f"{dst}/bbox_embed", sd, f"{src}.bbox_embed", 3)
 
 
+def _affine(tree, dst, sd, src):
+    """CSN norm: BatchNorm3d (use_affine=False, running stats present) or
+    Affine stored [C, 1, 1, 1] (ir_CSN_152.py:22-33)."""
+    _set(tree, f"{dst}/weight", sd[f"{src}.weight"].reshape(-1))
+    _set(tree, f"{dst}/bias", sd[f"{src}.bias"].reshape(-1))
+    if f"{src}.running_mean" in sd:
+        _set(tree, f"{dst}/running_mean", sd[f"{src}.running_mean"])
+        _set(tree, f"{dst}/running_var", sd[f"{src}.running_var"])
+
+
+def convert_csn_body(sd: Dict[str, np.ndarray], tree: dict, dst: str,
+                     prefix: str, block_nums=(3, 8, 36, 3)):
+    """CSN backbone from a reference DETR state_dict (torch names)."""
+    p = prefix
+    _conv3d(tree, f"{dst}/conv1", sd, f"{p}conv1")
+    _affine(tree, f"{dst}/bn1", sd, f"{p}bn1")
+    for s, n_blocks in enumerate(block_nums):
+        for b in range(n_blocks):
+            src = f"{p}layer{s + 1}.{b}"
+            d = f"{dst}/layer{s + 1}_{b}"
+            for conv in ("conv1", "conv3", "conv4"):
+                _conv3d(tree, f"{d}/{conv}", sd, f"{src}.{conv}")
+            for bn in ("bn1", "bn3", "bn4"):
+                _affine(tree, f"{d}/{bn}", sd, f"{src}.{bn}")
+            if b == 0:
+                _conv3d(tree, f"{d}/down_conv", sd, f"{src}.down_sample.0")
+                _affine(tree, f"{d}/down_bn", sd, f"{src}.down_sample.1")
+
+
+def convert_csn_mat(mat: Dict[str, np.ndarray], block_nums=(3, 8, 36, 3)) -> dict:
+    """Caffe2 .mat weights -> flax CSN body params
+    (name map: ir_CSN_152.py:262-340).  Conv weights are [O, I, t, h, w];
+    Affine scale/bias are <name>_s / <name>_b."""
+    tree: dict = {}
+
+    def conv(dst, name):
+        _set(tree, f"{dst}/kernel", mat[name].transpose(2, 3, 4, 1, 0))
+
+    def bn(dst, name):
+        _set(tree, f"{dst}/weight", mat[name + "_s"].reshape(-1))
+        _set(tree, f"{dst}/bias", mat[name + "_b"].reshape(-1))
+        if name + "_rm" in mat:
+            _set(tree, f"{dst}/running_mean", mat[name + "_rm"].reshape(-1))
+            _set(tree, f"{dst}/running_var", mat[name + "_riv"].reshape(-1))
+
+    conv("conv1", "conv1_w")
+    bn("bn1", "conv1_spatbn_relu")
+    start_count = np.concatenate([[0], np.cumsum(block_nums)[:-1]])
+    for s, n_blocks in enumerate(block_nums):
+        count = int(start_count[s])
+        for b in range(n_blocks):
+            d = f"layer{s + 1}_{b}"
+            conv(f"{d}/conv1", f"comp_{count}_conv_1_w")
+            conv(f"{d}/conv3", f"comp_{count}_conv_3_w")
+            conv(f"{d}/conv4", f"comp_{count}_conv_4_w")
+            bn(f"{d}/bn1", f"comp_{count}_spatbn_1")
+            bn(f"{d}/bn3", f"comp_{count}_spatbn_3")
+            bn(f"{d}/bn4", f"comp_{count}_spatbn_4")
+            if b == 0:
+                conv(f"{d}/down_conv", f"shortcut_projection_{count}_w")
+                bn(f"{d}/down_bn", f"shortcut_projection_{count}_spatbn")
+            count += 1
+    return tree
+
+
 def convert_detr_checkpoint(sd: Dict[str, np.ndarray], cfg) -> dict:
-    """Full reference DETR checkpoint -> flax params dict (ViT backbone)."""
+    """Full reference DETR checkpoint -> flax params dict."""
     m = cfg.CONFIG.MODEL
     tree: dict = {}
-    convert_vit_body(sd, tree, "backbone/body", "backbone.0.body.",
-                     depth=cfg.CONFIG.ViT.DEPTH)
-    convert_lateral_convs(sd, tree, "backbone/lateral_convs",
-                          "backbone.0.lateral_convs")
+    is_vit = "ViT" in m.BACKBONE_NAME or "Mamba" in m.BACKBONE_NAME
+    if is_vit:
+        convert_vit_body(sd, tree, "backbone/body", "backbone.0.body.",
+                         depth=cfg.CONFIG.ViT.DEPTH)
+        convert_lateral_convs(sd, tree, "backbone/lateral_convs",
+                              "backbone.0.lateral_convs")
+    else:
+        block_nums = (3, 8, 36, 3) if "152" in m.BACKBONE_NAME else (3, 4, 6, 3)
+        convert_csn_body(sd, tree, "backbone", "backbone.0.body.", block_nums)
+        for i in range(4):
+            _conv3d(tree, f"input_proj_{i}_conv", sd, f"input_proj.{i}.0",
+                    bias=True)
+            _layernorm(tree, f"input_proj_{i}_norm", sd, f"input_proj.{i}.1")
     _set(tree, "transformer/level_embed", sd["transformer.level_embed"])
     convert_encoder(sd, tree, "transformer/encoder", "transformer.encoder",
                     m.ENC_LAYERS)

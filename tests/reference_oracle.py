@@ -121,10 +121,29 @@ def install_reference(need_model_stubs: bool = False):
         utils_mod = _stub_module("torchvision.models._utils")
 
         class IntermediateLayerGetter(torch.nn.ModuleDict):
+            """Functional port of torchvision's IntermediateLayerGetter:
+            run children in registration order, collect requested outputs."""
+
             def __init__(self, model, return_layers):
-                super().__init__()
-                self.model = model
-                self.return_layers = return_layers
+                orig_return_layers = dict(return_layers)
+                layers = {}
+                remaining = dict(return_layers)
+                for name, module in model.named_children():
+                    layers[name] = module
+                    if name in remaining:
+                        del remaining[name]
+                    if not remaining:
+                        break
+                super().__init__(layers)
+                self.return_layers = orig_return_layers
+
+            def forward(self, x):
+                out = {}
+                for name, module in self.items():
+                    x = module(x)
+                    if name in self.return_layers:
+                        out[self.return_layers[name]] = x
+                return out
 
         utils_mod.IntermediateLayerGetter = IntermediateLayerGetter
         models_mod._utils = utils_mod

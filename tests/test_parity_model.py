@@ -170,3 +170,63 @@ def test_full_model_parity(small_cfg, ref_model):
         err = np.abs(aux["pred_boxes"].numpy()
                      - np.asarray(out["aux_outputs"][i]["pred_boxes"])).max()
         assert err < 2e-3, (i, err)
+
+
+def test_full_model_parity_csn(small_cfg):
+    """Same oracle with the CSN-50 backbone (CNN path: input projections,
+    extra stride-2 level, BatchNorm-in-eval parity)."""
+    import copy
+
+    import models.backbones.ir_CSN_50 as ref_csn50
+    import models.backbones.ir_CSN_152 as ref_csn152
+    import ops.functions.ms_deform_attn_func as ref_func
+    import ops.modules.ms_deform_attn as ref_mod
+
+    ref_csn50.load_weights = lambda *a, **k: None
+    ref_csn152.load_weights = lambda *a, **k: None
+    ref_func.MSDeformAttnFunction = _FakeMSDAFunction
+    ref_mod.MSDeformAttnFunction = _FakeMSDAFunction
+
+    cfg = copy.deepcopy(small_cfg)
+    cfg.CONFIG.MODEL.BACKBONE_NAME = "CSN-50"
+    cfg.CONFIG.MODEL.PRETRAINED = False
+
+    from models.model import build_model as ref_build_model
+
+    torch.manual_seed(1)
+    ref_model, _, _ = ref_build_model(cfg)
+    ref_model.eval()
+    # randomize BN running stats so the BN folding is actually exercised
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(1)
+    B, T, H, W = 1, 4, 64, 96
+    pixels = rng.normal(size=(B, T, H, W, 3)).astype(np.float32)
+    mask = np.zeros((B, H, W), bool)
+    mask[0, 48:, :] = True
+
+    from utils.misc import NestedTensor
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            NestedTensor(
+                torch.from_numpy(pixels.transpose(0, 4, 1, 2, 3)),
+                torch.from_numpy(mask),
+            )
+        )
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_detr_checkpoint(sd, cfg)
+    )
+    model = build_model(cfg)
+    out = jax.jit(model.apply, static_argnums=(3,))(
+        params, jnp.asarray(pixels), jnp.asarray(mask), True
+    )
+    for key in ("pred_boxes", "pred_logits_b"):
+        err = np.abs(ref_out[key].numpy() - np.asarray(out[key])).max()
+        assert err < 5e-3, (key, err)
