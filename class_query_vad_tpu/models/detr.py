@@ -41,7 +41,26 @@ class DETR(nn.Module):
         self.dataset_mode = s.dataset_mode
         self.hidden_dim = s.d_model
 
-        if s.is_vit:
+        if s.is_mamba:
+            from .videomamba import build_videomamba
+
+            self.backbone = build_videomamba(
+                s.mamba_backbone_type, s.temp_len, dtype=self.dtype,
+                name="backbone",
+            )
+            # mamba_proj MLP (backbone_3d_builder.py:69-76)
+            c2 = s.mamba_out_channels * 2
+            self.mamba_proj = [
+                nn.Dense(s.mamba_out_channels, dtype=jnp.float32,
+                         name="mamba_proj_0"),
+                nn.LayerNorm(dtype=jnp.float32, name="mamba_proj_1"),
+                nn.Dense(s.d_model, use_bias=False, dtype=jnp.float32,
+                         name="mamba_proj_3"),
+                nn.LayerNorm(dtype=jnp.float32, name="mamba_proj_4"),
+                nn.Dense(s.d_model, use_bias=False, dtype=jnp.float32,
+                         name="mamba_proj_5"),
+            ]
+        elif s.is_vit:
             self.backbone = ViTBackboneFPN(
                 s, self.hidden_dim, self.dtype, name="backbone"
             )
@@ -101,7 +120,26 @@ class DETR(nn.Module):
 
     def __call__(self, pixels, mask, deterministic: bool = True) -> Dict:
         """pixels [B, T, H, W, 3]; mask [B, H, W] True=pad."""
-        if self.spec.is_vit:
+        if self.spec.is_mamba:
+            from .backbone import level_masks_and_poses
+
+            # backbone_3d_builder.py:208-211: concat frame summary onto the
+            # token map, 4x temporal maxpool, mamba_proj MLP, one level
+            tokens, frame_summary = self.backbone(pixels)
+            bsz, t, h, w, c = tokens.shape
+            summary = jnp.broadcast_to(
+                frame_summary[:, :, None, None, :], tokens.shape
+            )
+            x = jnp.concatenate([tokens, summary], axis=-1)   # [B,T,h,w,2C]
+            x = nn.max_pool(x, (4, 1, 1), strides=(4, 1, 1))
+            x = x.astype(jnp.float32)
+            lin1, norm1, lin2, norm2, lin3 = self.mamba_proj
+            x = norm1(lin1(x))
+            x = nn.gelu(x, approximate=False)
+            x = lin3(norm2(lin2(x)))
+            srcs = [x]
+            masks, poses = level_masks_and_poses(srcs, mask, self.hidden_dim)
+        elif self.spec.is_vit:
             srcs, masks, poses = self.backbone(pixels, mask)
         else:
             from .backbone import level_masks_and_poses

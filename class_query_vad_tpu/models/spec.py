@@ -48,11 +48,17 @@ class ModelSpec:
     bbox_embed_diff_each_layer: bool = False
     gradient_checkpointing: bool = False
     last_stride: bool = True
+    mamba_backbone_type: str = "videomamba_tiny"
+    mamba_out_channels: int = 192
     vit: ViTSpec = ViTSpec()
 
     @property
     def is_vit(self) -> bool:
         return "ViT" in self.backbone_name or "Mamba" in self.backbone_name
+
+    @property
+    def is_mamba(self) -> bool:
+        return "Mamba" in self.backbone_name
 
 
 def spec_from_cfg(cfg) -> ModelSpec:
@@ -79,6 +85,10 @@ def spec_from_cfg(cfg) -> ModelSpec:
         bbox_embed_diff_each_layer=m.BBOX_EMBED_DIFF_EACH_LAYER,
         gradient_checkpointing=bool(cfg.CONFIG.GRADIENT_CHECKPOINTING),
         last_stride=bool(m.LAST_STRIDE),
+        mamba_backbone_type=m.get("BACKBONE_TYPE", "videomamba_tiny"),
+        mamba_out_channels=cfg.CONFIG.get("MAMBA", {})
+        .get("OUT_CHANNELS", {})
+        .get(m.get("BACKBONE_TYPE", "videomamba_tiny"), 192),
         vit=ViTSpec(
             embed_dim=v.EMBED_DIM,
             depth=v.DEPTH,

@@ -78,10 +78,15 @@ class DABTransformer(nn.Module):
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 self.dropout, jnp.float32, self.remat, name="encoder",
             )
-        else:
-            raise NotImplementedError(
-                f"encoder_type={self.encoder_type} lands with the SSM/VSS work"
+        elif self.encoder_type in ("ssm", "vssm"):
+            from .ssm_encoder import SSMEncoder
+
+            self.encoder = SSMEncoder(
+                self.num_encoder_layers, self.d_model, self.dim_feedforward,
+                self.encoder_type, self.dropout, jnp.float32, name="encoder",
             )
+        else:
+            raise ValueError(f"unknown encoder_type={self.encoder_type}")
         self.decoder = TransformerDecoder(
             self.num_decoder_layers, self.d_model, self.nhead,
             self.dim_feedforward, self.dropout, self.num_classes,
@@ -115,6 +120,21 @@ class DABTransformer(nn.Module):
         ).astype(jnp.float32)
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
 
+        if self.encoder_type in ("ssm", "vssm"):
+            # SSM path (dab_transformer.py:341-348): the encoder collapses
+            # to the key frame; one level, T = 1.
+            memory, key_pos = self.encoder(
+                src_flat, pos_flat, spatial_shapes[0], deterministic
+            )
+            t0, h0, w0 = spatial_shapes[0]
+            mem_levels = [memory.reshape(b, 1, h0, w0, self.d_model)]
+            pos_common = key_pos.reshape(b, 1, h0, w0, self.d_model)
+            mask_common = masks[0][:, :1]
+            return self._decode(
+                mem_levels, pos_common, mask_common, refpoint_embed,
+                deterministic,
+            )
+
         memory = self.encoder(
             src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
             deterministic,
@@ -147,7 +167,12 @@ class DABTransformer(nn.Module):
             ref_lvl = 0
             pos_common = pos_levels[0]
             mask_common = masks[0]
+        return self._decode(mem_levels, pos_common, mask_common,
+                            refpoint_embed, deterministic)
 
+    def _decode(self, mem_levels, pos_common, mask_common, refpoint_embed,
+                deterministic):
+        b = mem_levels[0].shape[0]
         t, h, w = mem_levels[0].shape[1:4]
         mem = jnp.stack(mem_levels, axis=1)           # [B, L, T, H, W, C]
 

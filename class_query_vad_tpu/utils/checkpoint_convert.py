@@ -277,6 +277,69 @@ def convert_csn_mat(mat: Dict[str, np.ndarray], block_nums=(3, 8, 36, 3)) -> dic
     return tree
 
 
+def _frozen_bn(tree, dst, sd, src):
+    _set(tree, f"{dst}/weight", sd[f"{src}.weight"])
+    _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+    _set(tree, f"{dst}/running_mean", sd[f"{src}.running_mean"])
+    _set(tree, f"{dst}/running_var", sd[f"{src}.running_var"])
+
+
+def convert_vss_block(sd, tree, dst, src):
+    """VSSBlock (models/detr/VSS.py:305-388) -> models/vss.VSSBlock."""
+    _conv2d(tree, f"{dst}/proj_conv", sd, f"{src}.proj_conv.0")
+    _frozen_bn(tree, f"{dst}/proj_bn", sd, f"{src}.proj_conv.1")
+    ls = f"{src}.lsblock"
+    _conv2d(tree, f"{dst}/lsblock/fc1", sd, f"{ls}.fc1")
+    _frozen_bn(tree, f"{dst}/lsblock/norm", sd, f"{ls}.norm")
+    _conv2d(tree, f"{dst}/lsblock/fc2", sd, f"{ls}.fc2")
+    _conv2d(tree, f"{dst}/lsblock/fc3", sd, f"{ls}.fc3")
+    # LayerNorm2d wraps an inner nn.LayerNorm named 'norm'
+    _layernorm(tree, f"{dst}/norm", sd, f"{src}.norm.norm")
+    op = f"{src}.op"
+    _conv2d_as_dense(tree, f"{dst}/op/in_proj", sd, f"{op}.in_proj")
+    _conv2d(tree, f"{dst}/op/conv2d", sd, f"{op}.conv2d")
+    _set(tree, f"{dst}/op/x_proj_weight", sd[f"{op}.x_proj_weight"])
+    _set(tree, f"{dst}/op/dt_projs_weight", sd[f"{op}.dt_projs_weight"])
+    _set(tree, f"{dst}/op/dt_projs_bias", sd[f"{op}.dt_projs_bias"])
+    _set(tree, f"{dst}/op/A_logs", sd[f"{op}.A_logs"])
+    _set(tree, f"{dst}/op/Ds", sd[f"{op}.Ds"])
+    _layernorm(tree, f"{dst}/op/out_norm", sd, f"{op}.out_norm")
+    _conv2d_as_dense(tree, f"{dst}/op/out_proj", sd, f"{op}.out_proj")
+
+
+def convert_mamba_block(sd, tree, dst, src):
+    """mamba_simple.Mamba (unidirectional) -> models/mamba_block.Mamba."""
+    _linear(tree, f"{dst}/in_proj", sd, f"{src}.in_proj")
+    w = sd[f"{src}.conv1d.weight"]                 # [D, 1, K]
+    _set(tree, f"{dst}/conv1d/kernel", w.transpose(2, 1, 0))
+    if f"{src}.conv1d.bias" in sd:
+        _set(tree, f"{dst}/conv1d/bias", sd[f"{src}.conv1d.bias"])
+    _linear(tree, f"{dst}/x_proj", sd, f"{src}.x_proj")
+    _set(tree, f"{dst}/dt_proj_kernel", sd[f"{src}.dt_proj.weight"].T)
+    _set(tree, f"{dst}/dt_proj_bias", sd[f"{src}.dt_proj.bias"])
+    _set(tree, f"{dst}/A_log", sd[f"{src}.A_log"])
+    _set(tree, f"{dst}/D", sd[f"{src}.D"])
+    _linear(tree, f"{dst}/out_proj", sd, f"{src}.out_proj")
+
+
+def convert_ssm_encoder(sd, tree, dst, src, n_layers, kind):
+    """Mamba/VSS encoder layers (dab_transformer.py:528-669)."""
+    for i in range(n_layers):
+        s = f"{src}.layers.{i}"
+        d = f"{dst}/layers_{i}"
+        _linear(tree, f"{d}/compress", sd, f"{s}.compress")
+        _linear(tree, f"{d}/pos_compress", sd, f"{s}.pos_compress")
+        _layernorm(tree, f"{d}/recurrent/step/ssm_norm", sd, f"{s}.ssm_norm")
+        if kind == "vssm":
+            convert_vss_block(sd, tree, f"{d}/recurrent/step/ssm", f"{s}.ssm")
+        else:
+            convert_mamba_block(sd, tree, f"{d}/recurrent/step/ssm", f"{s}.ssm")
+        _linear(tree, f"{d}/decompress", sd, f"{s}.decompress")
+        _linear(tree, f"{d}/linear1", sd, f"{s}.linear1")
+        _linear(tree, f"{d}/linear2", sd, f"{s}.linear2")
+        _layernorm(tree, f"{d}/norm2", sd, f"{s}.norm2")
+
+
 def convert_detr_checkpoint(sd: Dict[str, np.ndarray], cfg) -> dict:
     """Full reference DETR checkpoint -> flax params dict."""
     m = cfg.CONFIG.MODEL
@@ -295,8 +358,13 @@ def convert_detr_checkpoint(sd: Dict[str, np.ndarray], cfg) -> dict:
                     bias=True)
             _layernorm(tree, f"input_proj_{i}_norm", sd, f"input_proj.{i}.1")
     _set(tree, "transformer/level_embed", sd["transformer.level_embed"])
-    convert_encoder(sd, tree, "transformer/encoder", "transformer.encoder",
-                    m.ENC_LAYERS)
+    enc_type = m.get("ENCODER_TYPE", "attention")
+    if enc_type == "attention":
+        convert_encoder(sd, tree, "transformer/encoder", "transformer.encoder",
+                        m.ENC_LAYERS)
+    else:
+        convert_ssm_encoder(sd, tree, "transformer/encoder",
+                            "transformer.encoder", m.ENC_LAYERS, enc_type)
     convert_decoder(sd, tree, "transformer/decoder", "transformer.decoder",
                     m.DEC_LAYERS, m.BBOX_EMBED_DIFF_EACH_LAYER)
     _linear(tree, "class_embed_b", sd, "class_embed_b")
