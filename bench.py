@@ -33,7 +33,7 @@ def main():
     cfg = get_cfg_custom("/root/reference/configuration/AVA22_ViT-B.yaml")
     model = build_model(cfg, dtype=jnp.bfloat16)
 
-    B, T, H, W = 8, 16, 256, 320
+    B, T, H, W = 2, 16, 256, 320
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.normal(size=(B, T, H, W, 3)), jnp.float32)
     mask = jnp.zeros((B, H, W), bool)
@@ -42,15 +42,18 @@ def main():
         jax.random.PRNGKey(0), pixels, mask, True
     )
 
-    fwd = jax.jit(lambda p, px, mk: model.apply(p, px, mk, True))
-    out = fwd(params, pixels, mask)
-    jax.block_until_ready(out)
+    # NOTE: timing forces a host materialization per call — over this
+    # environment's remote-device tunnel, block_until_ready alone returns
+    # early and reports phantom numbers.
+    fwd = jax.jit(
+        lambda p, px, mk: model.apply(p, px, mk, True)["pred_boxes"].sum()
+    )
+    np.asarray(fwd(params, pixels, mask))   # compile + warm
 
-    iters = 30
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(params, pixels, mask)
-    jax.block_until_ready(out)
+        np.asarray(fwd(params, pixels, mask))
     dt = (time.perf_counter() - t0) / iters
     clips_per_sec = B / dt
 

@@ -161,6 +161,108 @@ def ms_deform_attn_3d_xla(
     return out[:, :q]
 
 
+def _sample_level_blocked(
+    value: jnp.ndarray,          # [B, t*h*w, H, D] one level
+    shape: Tuple[int, int, int],
+    loc: jnp.ndarray,            # [B, Q, H, P, 3] (x, y, t)
+    weight: jnp.ndarray,         # [B, Q, H, P]
+) -> jnp.ndarray:
+    """Trilinear sampling via ONE blocked lax.gather per level.
+
+    All 8 corners of each sample are fetched as a (2, 2, 2, D) slice from a
+    zero-padded volume (the padding realizes the CUDA kernel's edge-zero
+    semantics), which XLA's TPU gather handles ~2-3x faster than eight
+    separate row gathers.  Returns [B, Q, H, D].
+    """
+    t, h, w = shape
+    bsz, _, nheads, depth = value.shape
+    b_, q, _, p, _ = loc.shape
+
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    tt = loc[..., 2] * t - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    t0 = jnp.floor(tt)
+    lx = (x - x0).astype(value.dtype)
+    ly = (y - y0).astype(value.dtype)
+    lt = (tt - t0).astype(value.dtype)
+
+    in_bounds = (
+        (tt > -1.0) & (y > -1.0) & (x > -1.0) & (tt < t) & (y < h) & (x < w)
+    )
+    weight = (weight * in_bounds).astype(value.dtype)
+
+    # +1 shift into the zero-padded volume; clip keeps the slice in range
+    # (far-out points are already weight-zeroed by the guard above)
+    t0i = jnp.clip(t0.astype(jnp.int32) + 1, 0, t)
+    y0i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+
+    vol = value.transpose(0, 2, 1, 3).reshape(bsz * nheads, t, h, w, depth)
+    vol = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+    idx = jnp.stack([t0i, y0i, x0i], axis=-1)          # [B, Q, H, P, 3]
+    idx = idx.transpose(0, 2, 1, 3, 4).reshape(bsz * nheads, q * p, 3)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2),
+    )
+    gather_one = lambda v, i: jax.lax.gather(
+        v, i, dnums, slice_sizes=(2, 2, 2, depth),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    g = jax.vmap(gather_one)(vol, idx)                 # [BH, QP, 2, 2, 2, D]
+    g = g.reshape(bsz, nheads, q, p, 8, depth).transpose(0, 2, 1, 3, 4, 5)
+
+    wt = jnp.stack([1.0 - lt, lt], axis=-1)            # [B, Q, H, P, 2]
+    wy = jnp.stack([1.0 - ly, ly], axis=-1)
+    wx = jnp.stack([1.0 - lx, lx], axis=-1)
+    cw = (
+        wt[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
+    ).reshape(b_, q, nheads, p, 8) * weight[..., None]
+    return jnp.einsum("bqhpc,bqhpcd->bqhd", cw, g)
+
+
+def ms_deform_attn_3d_blocked(
+    value, spatial_shapes, sampling_locations, attention_weights,
+    query_chunk: int = 2048,
+) -> jnp.ndarray:
+    """Blocked-gather implementation (same contract as the _xla variant)."""
+    bsz, s_total, nheads, depth = value.shape
+    sizes = [t * h * w for (t, h, w) in spatial_shapes]
+    q = sampling_locations.shape[1]
+
+    def sample_all(loc, wgt):
+        out = jnp.zeros(loc.shape[:2] + (nheads, depth), dtype=value.dtype)
+        start = 0
+        for lvl, shape in enumerate(spatial_shapes):
+            v_l = jax.lax.slice_in_dim(value, start, start + sizes[lvl], axis=1)
+            out = out + _sample_level_blocked(
+                v_l, shape, loc[:, :, :, lvl], wgt[:, :, :, lvl]
+            )
+            start += sizes[lvl]
+        return out
+
+    if q <= query_chunk:
+        return sample_all(sampling_locations, attention_weights).reshape(
+            bsz, q, nheads * depth
+        )
+    pad = (-q) % query_chunk
+    loc = jnp.pad(sampling_locations, ((0, 0), (0, pad)) + ((0, 0),) * 4)
+    wgt = jnp.pad(attention_weights, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    n_chunks = (q + pad) // query_chunk
+    loc = loc.reshape((bsz, n_chunks, query_chunk) + loc.shape[2:])
+    wgt = wgt.reshape((bsz, n_chunks, query_chunk) + wgt.shape[2:])
+    out = jax.lax.map(
+        lambda lw: sample_all(lw[0], lw[1]),
+        (jnp.moveaxis(loc, 1, 0), jnp.moveaxis(wgt, 1, 0)),
+    )
+    out = jnp.moveaxis(out, 0, 1).reshape(bsz, q + pad, nheads * depth)
+    return out[:, :q]
+
+
 def ms_deform_attn_3d(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int, int]],
@@ -168,7 +270,7 @@ def ms_deform_attn_3d(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Dispatch to the best available implementation for this backend."""
-    return ms_deform_attn_3d_xla(
+    return ms_deform_attn_3d_blocked(
         value, spatial_shapes, sampling_locations, attention_weights
     )
 

@@ -129,3 +129,22 @@ def test_directional_offset_init():
     assert np.all(grid[:4, :, 0, 2] != 0)
     assert np.all(grid[4:, :, :, 2] == 0)
     np.testing.assert_allclose(grid[:, :, 3, :], grid[:, :, 0, :] * 4, rtol=1e-5)
+
+
+def test_blocked_matches_xla(rng):
+    """The blocked-gather fast path must match the reference XLA gather
+    formulation exactly (same zero-pad edge semantics)."""
+    from class_query_vad_tpu.ops.deform_attn import (
+        ms_deform_attn_3d_blocked,
+        ms_deform_attn_3d_xla,
+    )
+
+    shapes = ((3, 6, 7), (2, 3, 4))
+    S = sum(t * h * w for t, h, w in shapes)
+    B, Q, H, D, P = 2, 50, 4, 8, 5
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.5, 1.5, size=(B, Q, H, 2, P, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, H, 2, P)), jnp.float32)
+    a = ms_deform_attn_3d_xla(v, shapes, loc, w)
+    b = ms_deform_attn_3d_blocked(v, shapes, loc, w, query_chunk=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
