@@ -14,6 +14,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -49,6 +50,82 @@ def load_checkpoint(path: str, target=None):
         with open(meta_path) as f:
             meta = json.load(f)
     return restored, meta
+
+
+def load_detr_weights(params: dict, pretrain_path: str, cfg) -> dict:
+    """Two-stage training init (utils/model_utils.py:17-99): transplant the
+    transformer + bbox_embed + refpoint weights from a stage-1 reference
+    checkpoint into an initialized param tree, with tube <-> single-frame
+    refpoint reshaping and shape-mismatch skipping."""
+    import numpy as np
+
+    from ..utils.checkpoint_convert import (
+        convert_decoder,
+        convert_encoder,
+        convert_ssm_encoder,
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(pretrain_path)
+    m = cfg.CONFIG.MODEL
+    donor: dict = {}
+    try:
+        enc_type = m.get("ENCODER_TYPE", "attention")
+        if enc_type == "attention":
+            convert_encoder(sd, donor, "transformer/encoder",
+                            "transformer.encoder", m.ENC_LAYERS)
+        else:
+            convert_ssm_encoder(sd, donor, "transformer/encoder",
+                                "transformer.encoder", m.ENC_LAYERS, enc_type)
+        convert_decoder(sd, donor, "transformer/decoder",
+                        "transformer.decoder", m.DEC_LAYERS,
+                        m.BBOX_EMBED_DIFF_EACH_LAYER)
+        if "transformer.level_embed" in sd:
+            donor["transformer"]["level_embed"] = sd["transformer.level_embed"]
+    except KeyError as e:
+        print(f"load_detr_weights: donor missing {e}; partial transplant")
+
+    if "refpoint_embed.weight" in sd:
+        v = sd["refpoint_embed.weight"]
+        t, nq = m.TEMP_LEN, m.QUERY_NUM
+        target = np.asarray(
+            jax.tree_util.tree_leaves(
+                {"r": params["params"]["refpoint_embed"]}
+            )[0]
+        )
+        if m.SINGLE_FRAME and target.shape[0] < v.shape[0]:
+            v = v.reshape(t, nq, 4)[t // 2]
+        elif not m.SINGLE_FRAME and target.shape[0] > v.shape[0]:
+            v = np.tile(v[:nq], (t, 1))
+        donor["refpoint_embed"] = v
+
+    def merge(dst, src, path=""):
+        used, skipped = 0, 0
+        for k, v in src.items():
+            if k not in dst:
+                skipped += 1
+                continue
+            if isinstance(v, dict):
+                u, s = merge(dst[k], v, f"{path}/{k}")
+                used += u
+                skipped += s
+            else:
+                if tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                    dst[k] = jnp.asarray(v)
+                    used += 1
+                else:
+                    print(f"Skip loading parameter {path}/{k}: "
+                          f"{np.shape(v)} vs {np.shape(dst[k])}")
+                    skipped += 1
+        return used, skipped
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    import copy as _copy
+
+    new_params = _copy.deepcopy(jax.device_get(params))
+    used, skipped = merge(new_params["params"], donor)
+    print(f"load_detr_weights: {used} tensors transplanted, {skipped} skipped")
+    return new_params
 
 
 def load_pretrained_params(cfg, pretrained_path: str):

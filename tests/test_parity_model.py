@@ -230,3 +230,45 @@ def test_full_model_parity_csn(small_cfg):
     for key in ("pred_boxes", "pred_logits_b"):
         err = np.abs(ref_out[key].numpy() - np.asarray(out[key])).max()
         assert err < 5e-3, (key, err)
+
+
+def test_load_detr_weights_transplant(small_cfg, ref_model, tmp_path):
+    """Two-stage init (model_utils.py:17-99): stage-1 transformer weights
+    transplant into a fresh init; refpoints reshape across modes."""
+    import copy
+
+    from class_query_vad_tpu.engine.checkpoint import load_detr_weights
+
+    sd = {f"module.{k}": v for k, v in ref_model.state_dict().items()}
+    ckpt_path = str(tmp_path / "stage1.pth")
+    torch.save({"model": sd}, ckpt_path)
+
+    model = build_model(small_cfg)
+    pixels = jnp.zeros((1, 4, 64, 96, 3))
+    mask = np.zeros((1, 64, 96), bool)
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(7), pixels, jnp.asarray(mask), True
+    )
+    params = jax.device_get(params)
+    new_params = load_detr_weights(copy.deepcopy(params), ckpt_path, small_cfg)
+
+    # decoder weights replaced by the donor's (converted) values
+    donor_w = ref_model.state_dict()[
+        "transformer.decoder.layers.0.ca_qcontent_proj.weight"
+    ].numpy().T
+    got = np.asarray(
+        new_params["params"]["transformer"]["decoder"]["layers_0"][
+            "ca_qcontent_proj"
+        ]["kernel"]
+    )
+    assert np.allclose(got, donor_w)
+    # refpoints transplanted too (same single-frame mode -> direct copy)
+    assert np.allclose(
+        np.asarray(new_params["params"]["refpoint_embed"]),
+        ref_model.state_dict()["refpoint_embed.weight"].numpy(),
+    )
+    # backbone untouched
+    assert np.allclose(
+        np.asarray(new_params["params"]["backbone"]["body"]["norm"]["scale"]),
+        np.asarray(params["params"]["backbone"]["body"]["norm"]["scale"]),
+    )

@@ -97,6 +97,18 @@ def main():
         params = load_pretrained_params(cfg, cfg.CONFIG.MODEL.PRETRAINED_PATH)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state = state.replace(params=params, opt_state=tx.init(params))
+    elif cfg.CONFIG.MODEL.get("LOAD_DETR", False) and cfg.CONFIG.MODEL.get(
+        "PRETRAIN_TRANSFORMER_DIR", ""
+    ):
+        # two-stage init: transplant stage-1 transformer weights
+        from class_query_vad_tpu.engine.checkpoint import load_detr_weights
+
+        params = load_detr_weights(
+            jax.device_get(state.params),
+            cfg.CONFIG.MODEL.PRETRAIN_TRANSFORMER_DIR, cfg,
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        state = state.replace(params=params, opt_state=tx.init(params))
     print("Number of parameters: %6.2fM" % (param_count(state.params) / 1e6))
 
     state = replicate(mesh, state)
