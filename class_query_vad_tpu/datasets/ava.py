@@ -47,6 +47,7 @@ class AVADataset:
         resize_size: int = 256,
         mode: str = "train",
         class_num: int = 80,
+        use_native_decode: bool = True,
     ):
         self.frame_path = os.path.join(root_path, "frames")
         self.annot_path = os.path.join(
@@ -59,6 +60,7 @@ class AVADataset:
         self.mode = mode
         self._transforms = transforms
         self.index_cnt = 0
+        self.use_native_decode = use_native_decode
         self.data_dict = read_ava_csv(self.annot_path)
         self.data_list = list(self.data_dict.keys())
 
@@ -128,6 +130,12 @@ class AVADataset:
             0, len(frames) - 1,
         )
         h, w = target["orig_size"]
+        if self.use_native_decode:
+            from .native_decode import decode_batch
+
+            arr = decode_batch([frames[i] for i in idx], int(w), int(h))
+            if arr is not None:
+                return [Image.fromarray(a) for a in arr], target
         imgs = [Image.open(frames[i]).resize((w, h)) for i in idx]
         return imgs, target
 
@@ -156,4 +164,5 @@ def build_dataset(cfg, mode: str) -> AVADataset:
         resize_size=cfg.CONFIG.DATA.IMG_SIZE,
         mode=mode,
         class_num=cfg.CONFIG.DATA.NUM_CLASSES,
+        use_native_decode=cfg.CONFIG.DATA.get("NATIVE_DECODE", True),
     )

@@ -26,7 +26,7 @@ from .transforms import Compose, make_transforms
 class JHMDBDataset:
     def __init__(self, directory: str, video_path: str,
                  transforms: Optional[Compose], clip_len=40, resize_size=256,
-                 mode="train", split=0):
+                 mode="train", split=0, use_native_decode=True):
         with open(os.path.join(directory, "JHMDB-GT.pkl"), "rb") as f:
             self.dataset = pickle.load(f, encoding="iso-8859-1")
         self.video_path = video_path
@@ -36,6 +36,7 @@ class JHMDBDataset:
         self.mode = mode
         self.num_classes = 21
         self.index_cnt = 0
+        self.use_native_decode = use_native_decode
         vids = (
             self.dataset["train_videos"][split]
             if mode == "train"
@@ -114,12 +115,18 @@ class JHMDBDataset:
             back = [end] * (self.clip_len - len(ids) - target["front_pad"])
             ids = front + ids + back
         h, w = target["orig_size"]
-        imgs = [
-            Image.open(
-                os.path.join(self.video_path, vid, f"{i + 1:0>5}.png")
-            ).resize((w, h))
-            for i in ids
+        paths = [
+            os.path.join(self.video_path, vid, f"{i + 1:0>5}.png") for i in ids
         ]
+        imgs = None
+        if self.use_native_decode:
+            from .native_decode import decode_batch
+
+            arr = decode_batch(paths, int(w), int(h))
+            if arr is not None:
+                imgs = [Image.fromarray(a) for a in arr]
+        if imgs is None:
+            imgs = [Image.open(p_).resize((w, h)) for p_ in paths]
         if self._transforms:
             imgs, target = self._transforms(imgs, target, rng)
         return np.stack(imgs), target
@@ -134,4 +141,5 @@ def build_dataset(cfg, mode: str) -> JHMDBDataset:
         resize_size=cfg.CONFIG.DATA.IMG_SIZE,
         mode=mode,
         split=cfg.CONFIG.DATA.SPLIT,
+        use_native_decode=cfg.CONFIG.DATA.get("NATIVE_DECODE", True),
     )

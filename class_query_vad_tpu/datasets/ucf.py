@@ -38,7 +38,7 @@ UCF_CLASSES = [
 class UCFDataset:
     def __init__(self, directory: str, video_path: str,
                  transforms: Optional[Compose], clip_len=32, resize_size=256,
-                 mode="train"):
+                 mode="train", use_native_decode=True):
         with open(os.path.join(directory, "UCF101v2-GT.pkl"), "rb") as f:
             self.dataset = pickle.load(f, encoding="iso-8859-1")
         self.video_path = video_path
@@ -48,6 +48,7 @@ class UCFDataset:
         self.mode = mode
         self.num_classes = len(UCF_CLASSES)
         self.index_cnt = 0
+        self.use_native_decode = use_native_decode
 
         split = 0
         vids = (
@@ -187,6 +188,20 @@ class UCFDataset:
         sample = self.index_to_sample[index]
         target = self._load_annotation(sample)
         h, w = target["orig_size"]
+        vid0 = sample[0]
+        paths = [
+            os.path.join(self.video_path, vid0, f"{i:0>5}.jpg")
+            for i in self._frame_ids(sample)
+        ]
+        if self.use_native_decode:
+            from .native_decode import decode_batch
+
+            arr = decode_batch(paths, int(w), int(h))
+            if arr is not None:
+                imgs = [Image.fromarray(a) for a in arr]
+                if self._transforms:
+                    imgs, target = self._transforms(imgs, target, rng)
+                return np.stack(imgs), target
         vid = sample[0]
         imgs = [
             Image.open(
@@ -207,4 +222,5 @@ def build_dataset(cfg, mode: str) -> UCFDataset:
         clip_len=cfg.CONFIG.DATA.TEMP_LEN,
         resize_size=cfg.CONFIG.DATA.IMG_SIZE,
         mode=mode,
+        use_native_decode=cfg.CONFIG.DATA.get("NATIVE_DECODE", True),
     )

@@ -99,8 +99,16 @@ def run_validation(
     world_size: int = 1,
     barrier: Callable = lambda: None,
     forward_fn=None,
+    criterion: Callable = None,
 ):
-    """Returns (mAP, metrics[, v_mAP]) on rank 0; ({}, ...) elsewhere."""
+    """Returns (mAP, metrics[, v_mAP]) on rank 0; ({}, ...) elsewhere.
+
+    When ``criterion`` is given, eval losses are computed for logging and a
+    non-finite total aborts (reference video_action_recognition.py:210-213).
+    """
+    import math
+    import time as _time
+
     name = cfg.CONFIG.DATA.DATASET_NAME
     nc = cfg.CONFIG.DATA.NUM_CLASSES
     res_dir = os.path.join(cfg.CONFIG.LOG.BASE_PATH, cfg.CONFIG.LOG.RES_DIR)
@@ -112,10 +120,30 @@ def run_validation(
             static_argnums=(),
         )
     post_fn = jax.jit(postprocess)
+    loss_fn = None
+    if criterion is not None:
+        target_keys = ("boxes", "labels", "n_boxes", "frame_valid")
 
+        def _loss(out, batch):
+            targets = {k: batch[k] for k in target_keys if k in batch}
+            return criterion(out, targets, evaluation=True)
+
+        loss_fn = jax.jit(_loss)
+
+    t_start = _time.time()
+    n_batches = 0
     for batch, meta in loader:
-        out = forward_fn(params, jnp.asarray(batch["pixels"]),
-                         jnp.asarray(batch["mask"]))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = forward_fn(params, jb["pixels"], jb["mask"])
+        if loss_fn is not None:
+            losses = jax.device_get(loss_fn(out, jb))
+            total = float(sum(v for k, v in losses.items()
+                              if not k[-1].isdigit()))
+            if not math.isfinite(total):
+                raise FloatingPointError(
+                    f"Loss is {total}, stopping eval: {losses}"
+                )
+        n_batches += 1
         sizes = jnp.asarray(
             np.stack([np.asarray(m["size"], np.float32) for m in meta])
         )
