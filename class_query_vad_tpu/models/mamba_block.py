@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.selective_scan import selective_scan
+from ..ops.selective_scan_pallas import selective_scan_pallas as selective_scan
 
 
 class Mamba(nn.Module):

@@ -137,3 +137,57 @@ def test_gradients(rng):
     fp = float(loss(*map(jnp.asarray, (args[0], args[1], Ap, args[3], args[4]))))
     fm = float(loss(*map(jnp.asarray, (args[0], args[1], Am, args[3], args[4]))))
     np.testing.assert_allclose(gA[0, 0], (fp - fm) / (2 * eps), rtol=2e-2)
+
+
+def test_pallas_scan_matches_reference(rng):
+    """Pallas kernel (interpret mode on CPU) vs the associative reference,
+    forward and gradients, at kernel-tiling shapes."""
+    import jax
+
+    from class_query_vad_tpu.ops.selective_scan import selective_scan
+    from class_query_vad_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas,
+    )
+
+    B, G, DK, N, L = 2, 4, 32, 4, 64
+    KD = G * DK
+    u = jnp.asarray(rng.normal(size=(B, KD, L)), jnp.float32)
+    delta = jnp.asarray(rng.uniform(0, 0.5, size=(B, KD, L)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(KD, N)) * 0.5, jnp.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, G, N, L)), jnp.float32)
+    Cm = jnp.asarray(rng.normal(size=(B, G, N, L)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(KD,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(KD,)) * 0.1, jnp.float32)
+
+    ref = selective_scan(u, delta, A, Bm, Cm, D, bias, True)
+    pal = selective_scan_pallas(u, delta, A, Bm, Cm, D, bias, True, chunk=32)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), atol=1e-5)
+
+    g_ref = jax.grad(
+        lambda u_: (selective_scan(u_, delta, A, Bm, Cm, D, bias, True) ** 2).sum()
+    )(u)
+    g_pal = jax.grad(
+        lambda u_: (
+            selective_scan_pallas(u_, delta, A, Bm, Cm, D, bias, True, chunk=32) ** 2
+        ).sum()
+    )(u)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_pal),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_scan_fallback_odd_shapes(rng):
+    """Non-tiling shapes route to the associative implementation."""
+    from class_query_vad_tpu.ops.selective_scan import selective_scan
+    from class_query_vad_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas,
+    )
+
+    B, KD, N, L = 1, 48, 4, 37
+    u = jnp.asarray(rng.normal(size=(B, KD, L)), jnp.float32)
+    delta = jnp.asarray(rng.uniform(0, 0.5, size=(B, KD, L)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(KD, N)) * 0.5, jnp.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, N, L)), jnp.float32)
+    Cm = jnp.asarray(rng.normal(size=(B, N, L)), jnp.float32)
+    ref = selective_scan(u, delta, A, Bm, Cm)
+    pal = selective_scan_pallas(u, delta, A, Bm, Cm)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), atol=1e-5)
