@@ -102,12 +102,12 @@ class ViTBackboneFPN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels, mask):
+    def __call__(self, pixels, mask, deterministic: bool = True):
         # pixels: [B, T, H, W, 3]; mask: [B, H, W] (True = padded)
         tokens = build_vit(
             self.spec.vit, dtype=self.dtype, name="body",
             remat=self.spec.gradient_checkpointing,
-        )(pixels)
+        )(pixels, deterministic)
         embed_dim = tokens.shape[-1]
 
         features = []

@@ -140,7 +140,7 @@ class DETR(nn.Module):
             srcs = [x]
             masks, poses = level_masks_and_poses(srcs, mask, self.hidden_dim)
         elif self.spec.is_vit:
-            srcs, masks, poses = self.backbone(pixels, mask)
+            srcs, masks, poses = self.backbone(pixels, mask, deterministic)
         else:
             from .backbone import level_masks_and_poses
 

@@ -24,6 +24,7 @@ class ViTSpec:
     tubelet_size: int = 2
     pretrain_img_size: int = 224
     num_frames: int = 16
+    drop_path_rate: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -99,5 +100,6 @@ def spec_from_cfg(cfg) -> ModelSpec:
             tubelet_size=v.TUBELET_SIZE,
             pretrain_img_size=v.PRETRAIN_IMG_SIZE,
             num_frames=cfg.CONFIG.DATA.TEMP_LEN,
+            drop_path_rate=float(v.DROP_PATH_RATE),
         ),
     )

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .common import DropPath
 from .position_encoding import vit_sinusoid_table
 from .resize import bicubic_resize_2d
 
@@ -71,19 +72,22 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        dp = DropPath(self.drop_path, name="drop_path")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + ViTAttention(
+        y = ViTAttention(
             self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
         )(y)
+        x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + dp(y, deterministic)
 
 
 class ViT(nn.Module):
@@ -98,11 +102,12 @@ class ViT(nn.Module):
     tubelet_size: int = 2
     pretrain_img_size: int = 224
     num_frames: int = 16
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         b, T, H, W, _ = x.shape
         t = T // self.tubelet_size
         h, w = H // self.patch_size, W // self.patch_size
@@ -131,16 +136,22 @@ class ViT(nn.Module):
 
         block = ViTBlock
         if self.remat:
-            block = nn.remat(ViTBlock)
+            block = nn.remat(ViTBlock, static_argnums=(2,))
+        # stochastic depth decay (vit_utils.py:234)
+        dpr = [
+            self.drop_path_rate * i / max(self.depth - 1, 1)
+            for i in range(self.depth)
+        ]
         for i in range(self.depth):
             x = block(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,
                 self.qkv_bias,
+                dpr[i],
                 self.dtype,
                 name=f"blocks_{i}",
-            )(x)
+            )(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x.reshape(b, t, h, w, self.embed_dim)
@@ -160,6 +171,7 @@ def build_vit(spec, dtype=jnp.float32, name=None, remat=False) -> ViT:
         tubelet_size=spec.tubelet_size,
         pretrain_img_size=spec.pretrain_img_size,
         num_frames=spec.num_frames,
+        drop_path_rate=spec.drop_path_rate,
         dtype=dtype,
         remat=remat,
     )
