@@ -61,16 +61,19 @@ def pack_targets_frames(targets: List[Dict], max_actors: int, clip_len: int,
     boxes = np.zeros((b, max_actors, clip_len, 4), np.float32)
     labels = np.full((b, max_actors, clip_len), num_classes, np.int64)
     frame_valid = np.zeros((b, clip_len), bool)
+    n_actors = np.zeros(b, np.int32)
     for i, t in enumerate(targets):
         tb = t["boxes"].reshape(-1, clip_len, 5)    # [A, T, 5]
         a = min(tb.shape[0], max_actors)
         boxes[i, :a] = tb[:a, :, 1:]
+        n_actors[i] = a
         lb = np.asarray(t["labels"]).reshape(-1, clip_len)
         labels[i, : min(lb.shape[0], max_actors)] = lb[:max_actors]
         fp = int(t.get("front_pad", 0))
         ep = int(t.get("end_pad", 0))
         frame_valid[i, fp : clip_len - ep] = True
-    return {"boxes": boxes, "labels": labels, "frame_valid": frame_valid}
+    return {"boxes": boxes, "labels": labels, "frame_valid": frame_valid,
+            "n_actors": n_actors}
 
 
 class DataLoader:
@@ -149,13 +152,19 @@ class DataLoader:
             for i in range(0, len(indices), self.batch_size)
         ]
         if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [(b, np.zeros(self.batch_size, bool))
+                       for b in batches if len(b) == self.batch_size]
         else:
-            # static shapes: repeat the last samples to fill the batch
-            for i, b in enumerate(batches):
+            # static shapes: repeat the last samples to fill the batch and
+            # flag the fill positions so eval never scores duplicates
+            out = []
+            for b in batches:
+                fill = np.zeros(self.batch_size, bool)
                 if len(b) < self.batch_size:
-                    reps = np.resize(b, self.batch_size)
-                    batches[i] = reps
+                    fill[len(b):] = True
+                    b = np.resize(b, self.batch_size)
+                out.append((b, fill))
+            batches = out
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers)
         stop = threading.Event()
@@ -174,13 +183,17 @@ class DataLoader:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for bi, batch_idx in enumerate(batches):
+                for bi, (batch_idx, fill) in enumerate(batches):
                     if stop.is_set():
                         break
                     samples = list(
                         pool.map(load_one, [(bi, i) for i in batch_idx])
                     )
-                    out_q.put(self._pack(samples))
+                    batch, meta = self._pack(samples)
+                    for i, m in enumerate(meta):
+                        if fill[i]:
+                            m["_fill"] = True
+                    out_q.put((batch, meta))
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -43,6 +43,8 @@ class EvalBuffers:
 def buffer_ava(buffers: EvalBuffers, scores, boxes, binary, meta):
     """scores [B, NQ, NC], boxes [B, NQ, 4] abs xyxy, binary [B, NQ, 1]."""
     for b, m in enumerate(meta):
+        if m.get("_fill"):
+            continue      # batch-fill duplicate (static shapes) — not data
         frame_id = m["image_id"][0]
         for q in range(scores.shape[1]):
             buffers.det_lines.append(
@@ -61,7 +63,7 @@ def buffer_frames(buffers: EvalBuffers, scores, boxes, binary, meta,
     :560-660): strip pads, one-hot GT labels, frame keys from raw_boxes."""
     B, T, NQ = scores.shape[:3]
     for b, m in enumerate(meta):
-        if len(m["raw_boxes"]) == 0:
+        if m.get("_fill") or len(m["raw_boxes"]) == 0:
             continue
         frame_id = m["image_id"][0]
         fp = int(m.get("front_pad", 0))
@@ -122,7 +124,7 @@ def run_validation(
     post_fn = jax.jit(postprocess)
     loss_fn = None
     if criterion is not None:
-        target_keys = ("boxes", "labels", "n_boxes", "frame_valid")
+        target_keys = ("boxes", "labels", "n_boxes", "frame_valid", "n_actors")
 
         def _loss(out, batch):
             targets = {k: batch[k] for k in target_keys if k in batch}

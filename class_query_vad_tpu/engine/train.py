@@ -73,7 +73,7 @@ def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, optax
 def make_train_step(model, criterion, weight_dict: Dict[str, float], tx):
     """Returns jit-able train_step(state, batch) -> (state, metrics)."""
 
-    target_keys = ("boxes", "labels", "n_boxes", "frame_valid")
+    target_keys = ("boxes", "labels", "n_boxes", "frame_valid", "n_actors")
 
     def loss_fn(params, batch, rng):
         outputs = model.apply(

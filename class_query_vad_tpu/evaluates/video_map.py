@@ -179,8 +179,61 @@ def link_boxes(bbox_list: List[np.ndarray], max_tubes: int = 3) -> List[np.ndarr
     return res
 
 
+def _get_max_subset(x_org: np.ndarray, gt_len: int):
+    """Kadane max-subarray with target-length extension
+    (video_map.py:279-312)."""
+    x = x_org - np.mean(x_org)
+    best_so_far = best_now = 0.0
+    best_start = best_stop = start_now = -1
+    for i in range(x.shape[0]):
+        value = best_now + x[i]
+        if value > 0:
+            if best_now == 0:
+                start_now = i
+            best_now = value
+        else:
+            best_now = 0.0
+        if best_now > best_so_far:
+            best_so_far = best_now
+            best_stop = i
+            best_start = start_now
+    if gt_len > (best_stop - best_start):
+        ext = (gt_len - (best_stop - best_start)) // 2
+        best_start -= ext
+        best_stop += ext
+    elif gt_len < (best_stop - best_start):
+        ext = ((best_stop - best_start) - gt_len) // 2
+        best_start += ext
+        best_stop -= ext
+    best_start = max(best_start, 0)
+    best_stop = min(best_stop, x.shape[0])
+    return best_start, best_stop
+
+
+def temporal_check(tubes, gt_len: int):
+    """Score-based tube trimming (video_map.py:314-328): low-overlap frames
+    get negated scores, then max-subarray around gt_len."""
+    out = []
+    for tube in tubes:
+        nframes = tube.shape[0]
+        edge = np.array(
+            [iou2d(tube[i, 1:5], tube[i + 1, 1:5])[0, 0]
+             for i in range(nframes - 1)]
+        )
+        score = tube[:, 5].copy()
+        ind = np.where(edge < 0.3)[0] + 1
+        score[ind] = -score[ind]
+        tube = tube.copy()
+        tube[:, 5] = score
+        start, stop = _get_max_subset(score, gt_len)
+        out.append(tube[int(start) : int(stop)])
+    return out
+
+
 def link_video_one_class(vid_det, nms3d=True, trim_len=None, trim_start=None):
-    """video_map.py:177-208: link, 3D-NMS (0.3), trim to the valid span."""
+    """video_map.py:177-208: link, 3D-NMS (0.3), then trim — slice
+    [start : start+len] when a nonzero start exists, else the score-based
+    temporal_check (reference branches on the truthiness of start)."""
     vdets = [vid_det[i][1] for i in range(len(vid_det))]
     tubes = link_boxes(vdets)
     if tubes and nms3d:
@@ -188,8 +241,10 @@ def link_video_one_class(vid_det, nms3d=True, trim_len=None, trim_start=None):
         keep = nms_3d(scored, 0.3)
         if np.array(keep).size:
             kept = [tubes[k] for k in keep]
-            if trim_len and trim_start is not None:
+            if trim_len and trim_start:
                 tubes = [t[trim_start : trim_start + trim_len] for t in kept]
+            elif trim_len and not trim_start:
+                tubes = temporal_check(kept, trim_len)
             else:
                 tubes = kept
     return tubes
@@ -261,41 +316,6 @@ class VideoMAPEvaluator:
     def add_pred(self, all_boxes):
         self.all_boxes = all_boxes
 
-    def evaluate(self) -> Tuple[np.ndarray, float]:
-        if not self.all_boxes:
-            return np.zeros(self.num_classes), 0.0
-
-        # gt -> [label, video_index, tube]
-        keys = sorted(self.gt_videos.keys())
-        gt_fmt = []
-        for i, k in enumerate(keys):
-            for tube in self.gt_videos[k]["tubes"]:
-                gt_fmt.append([self.gt_videos[k]["gt_classes"], i + 1, tube])
-
-        # preds -> per class, per video, list of [frame_index, boxes]
-        img_keys = sorted(self.all_boxes.keys())
-        video_of = lambda k: "_".join(k.split("_")[:-1])
-        ap_all = []
-        for cls_ind in range(1, self.num_classes + 1):
-            pred_videos = []
-            v_cnt = 1
-            v_dets = []
-            prev = video_of(img_keys[0])
-            for k in img_keys:
-                cur = video_of(k)
-                frame_index = int(k.split("_")[-1])
-                dets = self.all_boxes[k].get(cls_ind, np.zeros((0, 5)))
-                if cur != prev:
-                    prev = cur
-                    pred_videos.append([v_cnt, v_dets])
-                    v_cnt += 1
-                    v_dets = []
-                v_dets.append([frame_index, np.asarray(dets, np.float32)])
-            pred_videos.append([v_cnt, v_dets])
-
-            gt = [[g[1], g[2]] for g in gt_fmt if g[0] == cls_ind]
-            ap_all.append(
-                video_ap_one_class(gt, pred_videos, self.iou, temporal=True)
-            )
-        ap_all = np.array(ap_all)
-        return ap_all, float(np.mean(ap_all))
+    # NOTE: class-level evaluation lives in
+    # evaluators._TubeEvaluaterBase._video_eval (handles both the temporal
+    # and non-temporal AP variants); this class only carries state.

@@ -191,11 +191,14 @@ def criterion_frames(
 
     if jhmdb:
         live_gt = jnp.ones(boxes_t.shape[:-1], bool) & frame_valid[:, :, None]
-        num_valid_boxes = frame_valid.sum().astype(jnp.float32)
     else:
         live_gt = frame_valid_gt(boxes_t) & frame_valid[:, :, None]
-        num_valid_boxes = live_gt.sum().astype(jnp.float32)
-    num_valid_boxes = jnp.maximum(num_valid_boxes, 1.0)
+    if "n_actors" in targets:
+        slot_live = (
+            jnp.arange(a_slots)[None, :] < targets["n_actors"][:, None]
+        )
+        live_gt = live_gt & slot_live[:, None, :]
+    num_valid_boxes = jnp.maximum(live_gt.sum().astype(jnp.float32), 1.0)
 
     def _sequential_pairing(match_ok):
         """Reference quirk (criterion.py:296-303,380-398): the UCF/JHMDB

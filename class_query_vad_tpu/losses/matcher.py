@@ -93,10 +93,18 @@ def match_frames(outputs, targets, cost_class, cost_bbox, cost_giou,
     LSAP columns — same assignments on the live submatrix.
     """
     boxes = jnp.swapaxes(targets["boxes"], 1, 2)        # [B, T, A, 4]
+    a_slots = boxes.shape[2]
     if filter_empty:
         live = frame_valid_gt(boxes)                    # [B, T, A]
     else:
         live = jnp.ones(boxes.shape[:-1], bool)
+    # mask out loader padding slots beyond the sample's real actor count
+    # (the JHMDB reference has exactly one gt per frame — sizes = [1]*frames)
+    if "n_actors" in targets:
+        slot_live = (
+            jnp.arange(a_slots)[None, :] < targets["n_actors"][:, None]
+        )
+        live = live & slot_live[:, None, :]
     live = live & targets["frame_valid"][:, :, None]
 
     def one(pb, pl, gb, gv):

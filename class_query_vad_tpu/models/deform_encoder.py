@@ -25,28 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.deform_attn import ms_deform_attn_3d
+from ..ops.deform_attn import directional_offset_init, ms_deform_attn_3d
 
-
-def deform_offset_init_bias(n_heads: int, n_levels: int, n_points: int) -> jnp.ndarray:
-    """Directional bias init for the 3D sampling-offset head
-    (/root/reference/ops/modules/ms_deform_attn.py:149-159): half the heads
-    spread on a circle with temporal extent 1, the other half replicate the
-    circle with zero temporal extent; per-point radius i+1."""
-    half = n_heads // 2
-    thetas = jnp.arange(half, dtype=jnp.float32) * (2.0 * math.pi / half)
-    grid = jnp.stack(
-        [
-            jnp.tile(jnp.cos(thetas), 2),
-            jnp.tile(jnp.sin(thetas), 2),
-            jnp.concatenate([jnp.ones(half), jnp.zeros(n_heads - half)]),
-        ],
-        axis=-1,
-    )  # [H, 3] — order (x, y, t)
-    grid = grid / jnp.abs(grid).max(axis=-1, keepdims=True)
-    grid = jnp.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
-    grid = grid * jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
-    return grid.reshape(-1)
+# the directional bias init lives in ops.deform_attn (tested there)
+deform_offset_init_bias = directional_offset_init
 
 
 class MSDeformAttn3D(nn.Module):

@@ -29,6 +29,25 @@ import jax.numpy as jnp
 from ..ops.selective_scan_pallas import selective_scan_pallas as selective_scan
 
 
+def _dt_proj_init(dt_rank: int, d_inner: int, dt_min=0.001, dt_max=0.1,
+                  dt_init_floor=1e-4):
+    """mamba_simple's dt projection init (mirrored in VSS.py:101-127):
+    kernel ~ U(-dt_rank^-0.5, dt_rank^-0.5); bias = softplus^-1(dt) with
+    dt ~ LogUniform(dt_min, dt_max) clamped at dt_init_floor."""
+
+    def kernel_init(key, shape, dtype=jnp.float32):
+        std = shape[0] ** -0.5
+        return jax.random.uniform(key, shape, dtype, -std, std)
+
+    def bias_init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, dtype)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, dt_init_floor)
+        return dt + jnp.log(-jnp.expm1(-dt))
+
+    return kernel_init, bias_init
+
+
 class Mamba(nn.Module):
     d_model: int
     d_state: int = 16
@@ -61,12 +80,9 @@ class Mamba(nn.Module):
         x_dbl = nn.Dense(dt_rank + 2 * n, use_bias=False, dtype=self.dtype,
                          name="x_proj")(x)
         dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=-1)
-        dt_kernel = self.param(
-            "dt_proj_kernel",
-            nn.initializers.uniform(scale=2 * dt_rank ** -0.5),
-            (dt_rank, d_inner),
-        )
-        dt_bias = self.param("dt_proj_bias", nn.initializers.zeros, (d_inner,))
+        k_init, b_init = _dt_proj_init(dt_rank, d_inner)
+        dt_kernel = self.param("dt_proj_kernel", k_init, (dt_rank, d_inner))
+        dt_bias = self.param("dt_proj_bias", b_init, (d_inner,))
         dt = jnp.einsum("blr,rd->bld", dt, dt_kernel)
 
         A_log = self.param(

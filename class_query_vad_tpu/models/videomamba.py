@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.selective_scan_pallas import selective_scan_pallas as selective_scan
+from .mamba_block import _dt_proj_init
 
 
 class BiMamba(nn.Module):
@@ -67,14 +68,11 @@ class BiMamba(nn.Module):
             dbl = nn.Dense(dt_rank + 2 * n, use_bias=False, dtype=self.dtype,
                            name=f"x_proj{suffix}")(h)
             dt, B, C = jnp.split(dbl, [dt_rank, dt_rank + n], axis=-1)
+            k_init, b_init = _dt_proj_init(dt_rank, d_inner)
             dt_kernel = self.param(
-                f"dt_proj{suffix}_kernel",
-                nn.initializers.uniform(scale=2 * dt_rank ** -0.5),
-                (dt_rank, d_inner),
+                f"dt_proj{suffix}_kernel", k_init, (dt_rank, d_inner)
             )
-            dt_bias = self.param(
-                f"dt_proj{suffix}_bias", nn.initializers.zeros, (d_inner,)
-            )
+            dt_bias = self.param(f"dt_proj{suffix}_bias", b_init, (d_inner,))
             dt = jnp.einsum("blr,rd->bld", dt, dt_kernel)
             A_log = self.param(
                 f"A{suffix}_log",

@@ -66,6 +66,15 @@ def main():
     args = parse_args()
     cfg = setup_cfg(args)
 
+    if os.environ.get("NUM_PROCESSES"):
+        from class_query_vad_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            os.environ.get("COORDINATOR_ADDRESS"),
+            int(os.environ["NUM_PROCESSES"]),
+            int(os.environ.get("PROCESS_ID", 0)),
+        )
+
     from class_query_vad_tpu.datasets import build_dataloader
     from class_query_vad_tpu.engine import load_pretrained_params, run_validation
     from class_query_vad_tpu.losses import (
@@ -98,9 +107,15 @@ def main():
     n_params = param_count(params)
     print("Number of parameters in the model: %6.2fM" % (n_params / 1e6))
 
+    barrier = lambda: None
+    if world > 1:
+        from jax.experimental import multihost_utils
+
+        barrier = lambda: multihost_utils.sync_global_devices("eval_txt")
+
     t0 = time.time()
     result = run_validation(cfg, model, params, postprocess, loader,
-                            rank=rank, world_size=world)
+                            rank=rank, world_size=world, barrier=barrier)
     if result is not None:
         line = {"mAP": result["mAP"], "time": time.time() - t0}
         if "v_mAP" in result:

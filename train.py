@@ -121,28 +121,42 @@ def main():
         train_loader.set_epoch(epoch)
         t0 = time.time()
         total_loss, n_steps = 0.0, 0
+        loss_window = []
         for batch, _ in train_loader:
             batch = shard_batch(mesh, {
                 k: jnp.asarray(v) for k, v in batch.items()
             })
             state, metrics = train_step(state, batch)
-            total_loss += float(metrics["total_loss"])
+            # keep the loss on device: a per-step float() would serialize
+            # dispatch against the ~24ms host-materialization RTT
+            loss_window.append(metrics["total_loss"])
             n_steps += 1
             if n_steps % cfg.CONFIG.LOG.DISPLAY_FREQ == 0 and rank == 0:
+                vals = [float(v) for v in jax.device_get(loss_window)]
+                total_loss += sum(vals)
+                loss_window = []
                 print(
                     f"Epoch [{epoch}] Step [{n_steps}] "
-                    f"loss: {float(metrics['total_loss']):.4f} "
+                    f"loss: {vals[-1]:.4f} "
                     f"({(time.time() - t0) / n_steps:.3f}s/step)"
                 )
+        total_loss += sum(float(v) for v in jax.device_get(loss_window))
         if rank == 0:
             print(f"Epoch {epoch}: mean loss "
                   f"{total_loss / max(n_steps, 1):.4f} "
                   f"in {time.time() - t0:.1f}s")
 
         if (epoch + 1) % cfg.CONFIG.TRAIN.EVAL_FREQ == 0:
+            barrier = lambda: None
+            if world > 1:
+                from jax.experimental import multihost_utils
+
+                barrier = lambda: multihost_utils.sync_global_devices(
+                    "eval_txt"
+                )
             result = run_validation(
                 cfg, model, jax.device_get(state.params), postprocess,
-                val_loader, rank=rank, world_size=world,
+                val_loader, rank=rank, world_size=world, barrier=barrier,
             )
             if result is not None:
                 print(json.dumps({"epoch": epoch, "mAP": result["mAP"]}))
