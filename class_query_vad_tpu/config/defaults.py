@@ -156,6 +156,7 @@ _C.CONFIG.MODEL = CN(
         GENERATE_LFB=False,
         TEMPORAL_DS_STRATEGY="decode",
         ENCODER_TYPE="attention",
+        FAST_RADIUS=1,
         DECODER_TYPE="attention",
         RETURN_INTERM_LAYERS=True,
     ),

@@ -105,6 +105,7 @@ class DETR(nn.Module):
             temp_len=s.temp_len,
             single_frame=s.single_frame,
             encoder_type=s.encoder_type,
+            fast_radius=s.fast_radius,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
             name="transformer",

@@ -44,6 +44,7 @@ class ModelSpec:
     model_temp_len: int = 32     # MODEL.TEMP_LEN — refpoint tube length
     single_frame: bool = True
     encoder_type: str = "attention"
+    fast_radius: int = 1
     decoder_type: str = "attention"
     backbone_name: str = "ViT"
     bbox_embed_diff_each_layer: bool = False
@@ -81,6 +82,7 @@ def spec_from_cfg(cfg) -> ModelSpec:
         model_temp_len=m.TEMP_LEN,
         single_frame=m.SINGLE_FRAME,
         encoder_type=m.get("ENCODER_TYPE", "attention"),
+        fast_radius=int(m.get("FAST_RADIUS", 1)),
         decoder_type=m.get("DECODER_TYPE", "attention"),
         backbone_name=m.BACKBONE_NAME,
         bbox_embed_diff_each_layer=m.BBOX_EMBED_DIFF_EACH_LAYER,

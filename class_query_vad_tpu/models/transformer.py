@@ -43,7 +43,13 @@ def make_interpolated_features(
     out = []
     for feat in features:
         if feat.shape[1] == num_frames:
-            out.append(grid_resize_2d(feat, (h, w)))
+            # Reference quirk: the 2D grid_sample path stacks (meshy, meshx)
+            # as the (x, y) grid components (dab_transformer.py:257-260), so
+            # the sampled map comes out transposed — resample to (w, h) and
+            # swap the spatial axes to reproduce it.
+            out.append(
+                jnp.swapaxes(grid_resize_2d(feat, (w, h)), -3, -2)
+            )
         else:
             out.append(grid_resize_3d(feat, (num_frames, h, w)))
     return out
@@ -63,6 +69,7 @@ class DABTransformer(nn.Module):
     temp_len: int = 32
     single_frame: bool = True            # "eff" mode
     encoder_type: str = "attention"
+    fast_radius: int = 1                 # window radius for 'fast_attention'
     bbox_embed_diff_each_layer: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -77,6 +84,15 @@ class DABTransformer(nn.Module):
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 self.dropout, jnp.float32, self.remat, name="encoder",
+            )
+        elif self.encoder_type == "fast_attention":
+            from .fast_encoder import FastDeformableEncoder
+
+            self.encoder = FastDeformableEncoder(
+                self.num_encoder_layers, self.d_model, self.dim_feedforward,
+                self.num_feature_levels, self.nhead, self.enc_n_points,
+                self.fast_radius, self.dropout, jnp.float32, self.remat,
+                name="encoder",
             )
         elif self.encoder_type in ("ssm", "vssm"):
             from .ssm_encoder import SSMEncoder
@@ -106,6 +122,22 @@ class DABTransformer(nn.Module):
     ):
         b = srcs[0].shape[0]
         spatial_shapes = tuple(tuple(s.shape[1:4]) for s in srcs)
+
+        if self.encoder_type == "fast_attention":
+            # TPU-native windowed encoder works on per-level grids directly;
+            # no token flattening or valid-ratio machinery needed.
+            pos_levels = [
+                p.astype(jnp.float32) + self.level_embed[l]
+                for l, p in enumerate(poses)
+            ]
+            mem_levels = self.encoder(
+                [s.astype(jnp.float32) for s in srcs], pos_levels, masks,
+                deterministic,
+            )
+            return self._common_grid_decode(
+                mem_levels, pos_levels, masks, spatial_shapes,
+                refpoint_embed, deterministic,
+            )
 
         src_flat = jnp.concatenate(
             [s.reshape(b, -1, self.d_model) for s in srcs], axis=1
@@ -153,6 +185,13 @@ class DABTransformer(nn.Module):
             )
             start += size
 
+        return self._common_grid_decode(
+            mem_levels, pos_levels, masks, spatial_shapes, refpoint_embed,
+            deterministic,
+        )
+
+    def _common_grid_decode(self, mem_levels, pos_levels, masks,
+                            spatial_shapes, refpoint_embed, deterministic):
         if self.num_feature_levels > 1:
             mem_levels = make_interpolated_features(mem_levels, self.temp_len)
             ref_lvl = len(spatial_shapes) - 2
