@@ -32,10 +32,20 @@ def save_checkpoint(cfg, state, epoch: int, accuracy: float = 0.0):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
+    # host-side RNG streams for bit-exact resume of the data pipeline —
+    # the reference saves python/numpy/torch/cuda states
+    # (utils/model_utils.py:282-286); the device stream (dropout_rng) is
+    # already inside the TrainState pytree.
+    import pickle
+    import random
+
     meta = {"epoch": epoch, "accuracy": float(accuracy),
             "config": cfg.dump()}
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
+    with open(path + ".rng.pkl", "wb") as f:
+        pickle.dump({"python": random.getstate(),
+                     "numpy": np.random.get_state()}, f)
     return path
 
 
@@ -49,6 +59,15 @@ def load_checkpoint(path: str, target=None):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    rng_path = os.path.abspath(path) + ".rng.pkl"
+    if os.path.exists(rng_path):
+        import pickle
+        import random
+
+        with open(rng_path, "rb") as f:
+            rng = pickle.load(f)
+        random.setstate(rng["python"])
+        np.random.set_state(rng["numpy"])
     return restored, meta
 
 

@@ -36,12 +36,66 @@ class TrainState(struct.PyTreeNode):
     dropout_rng: jnp.ndarray
 
 
-def make_optimizer(lr: float, grad_accum: int = 1,
-                   clip_norm: float = 1.0) -> optax.GradientTransformation:
+def backbone_freeze_labels(params, cfg):
+    """Label pytree ("frozen"/"trainable") reproducing the reference's
+    ``tune_point`` requires_grad freezing, applied during pretrained
+    backbone loading:
+
+    * ViT (/root/reference/models/backbones/vit.py:119-129): freeze
+      patch_embed, every norm parameter in the trunk, and blocks with
+      index <= tune_point;
+    * CSN (/root/reference/models/backbones/ir_CSN_152.py:272-324):
+      freeze the stem (conv1 + bn1) when tune_point > 1 and stage s
+      (0-based) when tune_point > s + 2.
+
+    Frozen parameters get optax.set_to_zero() via multi_transform, so they
+    also skip AdamW weight decay and the global-norm clip — matching
+    requires_grad=False (no grad, no decay) in the reference.
+    """
+    tune = int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0))
+    bb = cfg.CONFIG.MODEL.BACKBONE_NAME
+
+    def is_frozen(path) -> bool:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if "backbone" not in keys:
+            return False
+        sub = keys[keys.index("backbone") + 1 :]
+        if not sub:
+            return False
+        if bb == "ViT":
+            if tune <= 0 or sub[0] != "body" or len(sub) < 2:
+                return False
+            rest = sub[1:]
+            if "patch_embed" in rest[0]:
+                return True
+            if any("norm" in k for k in rest):
+                return True
+            if rest[0].startswith("blocks_"):
+                return int(rest[0].rsplit("_", 1)[-1]) <= tune
+            return False
+        if bb.startswith("CSN"):
+            head = sub[0]
+            if head in ("conv1", "bn1"):
+                return tune > 1
+            if head.startswith("layer"):
+                return tune > int(head[5]) - 1 + 2
+        return False
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: "frozen" if is_frozen(p) else "trainable", params
+    )
+
+
+def make_optimizer(lr: float, grad_accum: int = 1, clip_norm: float = 1.0,
+                   freeze_labels=None) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
     )
+    if freeze_labels is not None:
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, freeze_labels
+        )
     if grad_accum > 1:
         # accumulate SUM like the reference (scale micro-grads back up)
         tx = optax.chain(optax.scale(float(grad_accum)),
@@ -55,9 +109,21 @@ def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, optax
         params_rng, jnp.asarray(sample_batch["pixels"]),
         jnp.asarray(sample_batch["mask"]), True,
     )
+    freeze = None
+    if (cfg.CONFIG.MODEL.get("PRETRAINED", False)
+            and int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0)) > 0):
+        # reference freezes only inside pretrained-weight loading
+        freeze = backbone_freeze_labels(params, cfg)
+        leaves = jax.tree_util.tree_leaves(freeze)
+        n_frozen = sum(1 for l in leaves if l == "frozen")
+        print(
+            f"tune_point={cfg.CONFIG.MODEL.TUNE_POINT}: freezing "
+            f"{n_frozen}/{len(leaves)} parameter tensors in the backbone"
+        )
     tx = make_optimizer(
         cfg.CONFIG.TRAIN.LR, cfg.CONFIG.TRAIN.GRAD_ACCUM,
         cfg.CONFIG.TRAIN.get("CLIP_GRAD_NORM", 1.0),
+        freeze_labels=freeze,
     )
     return (
         TrainState(

@@ -319,3 +319,131 @@ class VideoMAPEvaluator:
     # NOTE: class-level evaluation lives in
     # evaluators._TubeEvaluaterBase._video_eval (handles both the temporal
     # and non-temporal AP variants); this class only carries state.
+
+
+# ---------------------------------------------------------------------------
+# error analysis (compute_video_map.py:250-352 — videoAP_error)
+# ---------------------------------------------------------------------------
+
+
+def _iou3dt_voc(b1, b2, spatialonly=False, temporalonly=False) -> float:
+    """VOC-variant spatio-temporal tube IoU (compute_video_map.py:48-64):
+    temporal terms use open lengths (no +1) unlike :func:`iou3dt`."""
+    tmin = max(b1[0, 0], b2[0, 0])
+    tmax = min(b1[-1, 0], b2[-1, 0])
+    if tmax < tmin:
+        return 0.0
+    temporal_inter = tmax - tmin
+    temporal_union = max(b1[-1, 0], b2[-1, 0]) - min(b1[0, 0], b2[0, 0])
+    t1 = b1[np.where(b1[:, 0] == tmin)[0][0] : np.where(b1[:, 0] == tmax)[0][0] + 1]
+    t2 = b2[np.where(b2[:, 0] == tmin)[0][0] : np.where(b2[:, 0] == tmax)[0][0] + 1]
+    if temporalonly:
+        return temporal_inter / temporal_union if temporal_union > 0 else 0.0
+    ratio = 1.0 if spatialonly else (
+        temporal_inter / temporal_union if temporal_union > 0 else 0.0
+    )
+    return iou3d(t1, t2) * ratio
+
+
+ERROR_COLUMNS = ("AP", "repeat", "extra", "loc", "cls", "time",
+                 "cls+time", "cls+loc", "time+loc", "cls+time+loc", "missed")
+
+
+def video_ap_error(gttubes, labels, test_videos, alldets, thr=0.5):
+    """Per-class video-AP error decomposition (compute_video_map.py:250-352).
+
+    Each false positive is attributed to exactly one bucket: repeat
+    (duplicate hit on an already-matched GT), extra (no GT overlap at all),
+    localization / classification / timing and their combinations, judged
+    with sqrt(thr) thresholds on the spatial-only and temporal-only IoUs.
+
+    Args (in-memory, not pickles):
+      gttubes: {video: {label: [tube ndarray [T, 5]]}}
+      labels: class-name list
+      test_videos: videos to score
+      alldets: {label_idx: [(video, score, tube ndarray [T, 6])]}
+    Returns {label: {column: percentage}} with a "mean" row, columns
+    ``ERROR_COLUMNS``.
+    """
+    import math
+
+    th_s = th_t = math.sqrt(thr)
+    dupgt = {v: gttubes.get(v, {}) for v in test_videos}
+    res = {}
+    for ilabel in range(len(labels)):
+        detections = alldets.get(ilabel, [])
+        pr = np.zeros((len(detections), 11), np.float32)
+        gt_num = sum(
+            len(dupgt[v][ilabel]) for v in dupgt if ilabel in dupgt[v]
+        )
+        tp = fp = 0
+        counts = dict(ER=0, EN=0, EL=0, EC=0, ET=0, ECT=0, ECL=0, ETL=0,
+                      ECTL=0)
+        detected = {}
+        order = np.argsort(-np.array([d[1] for d in detections])) if detections else []
+        for i, j in enumerate(order):
+            v, score, tube = detections[j]
+            ispositive = end = False
+            if ilabel in dupgt[v]:
+                if v not in detected:
+                    detected[v] = np.zeros(len(dupgt[v][ilabel]), bool)
+                ious = [_iou3dt_voc(g, tube) for g in dupgt[v][ilabel]]
+                amax = int(np.argmax(ious))
+                if ious[amax] >= thr:
+                    if not detected[v][amax]:
+                        ispositive = True
+                        detected[v][amax] = True
+                    else:
+                        counts["ER"] += 1
+                    end = True
+            if not end:
+                ious = [
+                    _iou3dt_voc(g, tube)
+                    for ll in dupgt[v] if ll != ilabel
+                    for g in dupgt[v][ll]
+                ]
+                if ious and max(ious) >= thr:
+                    counts["EC"] += 1
+                    end = True
+                    ious = None
+            if not end:
+                all_gt = [(ll, g) for ll in dupgt[v] for g in dupgt[v][ll]]
+                ious = [_iou3dt_voc(g, tube) for _, g in all_gt]
+                amax = int(np.argmax(ious)) if ious else -1
+                if amax >= 0 and ious[amax] > 0:
+                    gl, g = all_gt[amax]
+                    t_iou = _iou3dt_voc(g, tube, temporalonly=True)
+                    s_iou = _iou3dt_voc(g, tube, spatialonly=True)
+                    same = gl == ilabel
+                    if t_iou >= th_t:
+                        counts["EL" if same else "ECL"] += 1
+                    elif s_iou >= th_s:
+                        counts["ET" if same else "ECT"] += 1
+                    else:
+                        counts["ETL" if same else "ECTL"] += 1
+                else:
+                    counts["EN"] += 1
+            if ispositive:
+                tp += 1
+            else:
+                fp += 1
+            denom = float(tp + fp)
+            pr[i, 0] = tp / denom
+            pr[i, 1] = tp / gt_num if gt_num else 0.0
+            for c, key in enumerate(
+                ("ER", "EN", "EL", "EC", "ET", "ECT", "ECL", "ETL", "ECTL")
+            ):
+                pr[i, 2 + c] = counts[key] / denom
+        res[labels[ilabel]] = pr
+
+    out = {}
+    for label, pr in res.items():
+        row = {"AP": 100.0 * voc_ap(pr[:, [0, 1]]) if len(pr) else 0.0}
+        for c, col in enumerate(ERROR_COLUMNS[1:-1]):
+            row[col] = 100.0 * voc_ap(pr[:, [2 + c, 1]]) if len(pr) else 0.0
+        row["missed"] = 100.0 - 100.0 * pr[-1, 1] if len(pr) else 100.0
+        out[label] = row
+    out["mean"] = {
+        col: float(np.mean([out[l][col] for l in res])) for col in ERROR_COLUMNS
+    }
+    return out

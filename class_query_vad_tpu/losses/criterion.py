@@ -38,6 +38,18 @@ from ..utils.misc import inverse_sigmoid
 from .matcher import MatchResult, frame_valid_gt
 
 
+def dice_loss(inputs: jnp.ndarray, targets: jnp.ndarray,
+              num_boxes: float) -> jnp.ndarray:
+    """DICE/F-1 loss for masks (reference models/detr/segmentation.py:182-198;
+    kept for parity with the segmentation head surface)."""
+    probs = jax.nn.sigmoid(inputs).reshape(inputs.shape[0], -1)
+    targets = targets.reshape(targets.shape[0], -1)
+    numerator = 2.0 * (probs * targets).sum(-1)
+    denominator = probs.sum(-1) + targets.sum(-1)
+    loss = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+    return loss.sum() / num_boxes
+
+
 def sigmoid_focal_loss(inputs, targets, weights=None, alpha=0.25, gamma=2.0,
                        elem_mask=None):
     """Reference semantics (segmentation.py:200-229): per-element focal

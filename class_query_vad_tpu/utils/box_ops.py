@@ -66,3 +66,44 @@ def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
 def pairwise_l1(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """cdist(.., p=1): boxes1 [..., N, 4] x boxes2 [..., M, 4] -> [..., N, M]."""
     return jnp.abs(boxes1[..., :, None, :] - boxes2[..., None, :, :]).sum(-1)
+
+
+def batched_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
+    """IoU with a leading batch axis: [B, N, 4] x [B, M, 4] -> [B, N, M]
+    (reference utils/box_ops.py:96-122)."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[..., :, None] + area2[..., None, :] - inter
+    return inter / union, union
+
+
+def batched_generalized_box_iou(
+    boxes1: jnp.ndarray, boxes2: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched GIoU [B, N, M] (reference utils/box_ops.py:125-141)."""
+    iou, union = batched_box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.maximum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / area
+
+
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """Bounding boxes (xyxy) around binary masks [N, H, W] -> [N, 4]
+    (reference utils/box_ops.py:144-165)."""
+    if masks.size == 0:
+        return jnp.zeros((0, 4), jnp.float32)
+    h, w = masks.shape[-2:]
+    y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    m = masks.astype(jnp.float32)
+    x_max = (m * x).reshape(m.shape[0], -1).max(-1)
+    x_min = jnp.where(masks.astype(bool), x, 1e8).reshape(m.shape[0], -1).min(-1)
+    y_max = (m * y).reshape(m.shape[0], -1).max(-1)
+    y_min = jnp.where(masks.astype(bool), y, 1e8).reshape(m.shape[0], -1).min(-1)
+    return jnp.stack([x_min, y_min, x_max, y_max], 1)

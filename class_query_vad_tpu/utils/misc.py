@@ -91,3 +91,24 @@ def tree_size_mb(tree: Any) -> float:
 
 def param_count(tree: Any) -> int:
     return sum(l.size for l in jax.tree_util.tree_leaves(tree))
+
+
+def accuracy_sigmoid(output, target) -> float:
+    """Exact-set multilabel accuracy: % of rows where the top-k predictions
+    (k = number of positives) equal the positive label set (reference
+    utils/misc.py:467-489).  numpy in / float out."""
+    import numpy as np
+
+    output = np.asarray(output)
+    target = np.asarray(target)
+    if target.size == 0:
+        return 0.0
+    hits = 0
+    for n in range(target.shape[0]):
+        labels = np.nonzero(target[n])[0]
+        if len(labels) == 0:
+            continue
+        pred = np.argsort(-output[n])[: len(labels)]
+        if set(labels.tolist()) == set(pred.tolist()):
+            hits += 1
+    return hits * (100.0 / target.shape[0])
