@@ -157,6 +157,7 @@ _C.CONFIG.MODEL = CN(
         TEMPORAL_DS_STRATEGY="decode",
         ENCODER_TYPE="attention",
         FAST_RADIUS=1,
+        FAST_DTYPE="float32",
         DECODER_TYPE="attention",
         RETURN_INTERM_LAYERS=True,
     ),

@@ -106,6 +106,7 @@ class DETR(nn.Module):
             single_frame=s.single_frame,
             encoder_type=s.encoder_type,
             fast_radius=s.fast_radius,
+            fast_dtype=s.fast_dtype,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
             name="transformer",

@@ -70,6 +70,7 @@ class DABTransformer(nn.Module):
     single_frame: bool = True            # "eff" mode
     encoder_type: str = "attention"
     fast_radius: int = 1                 # window radius for 'fast_attention'
+    fast_dtype: str = "float32"          # compute dtype for the fast encoder
     bbox_embed_diff_each_layer: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -91,8 +92,8 @@ class DABTransformer(nn.Module):
             self.encoder = FastDeformableEncoder(
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
-                self.fast_radius, self.dropout, jnp.float32, self.remat,
-                name="encoder",
+                self.fast_radius, self.dropout, jnp.dtype(self.fast_dtype),
+                self.remat, name="encoder",
             )
         elif self.encoder_type in ("ssm", "vssm"):
             from .ssm_encoder import SSMEncoder
@@ -126,14 +127,17 @@ class DABTransformer(nn.Module):
         if self.encoder_type == "fast_attention":
             # TPU-native windowed encoder works on per-level grids directly;
             # no token flattening or valid-ratio machinery needed.
+            fdt = jnp.dtype(self.fast_dtype)
             pos_levels = [
-                p.astype(jnp.float32) + self.level_embed[l]
+                (p + self.level_embed[l]).astype(fdt)
                 for l, p in enumerate(poses)
             ]
             mem_levels = self.encoder(
-                [s.astype(jnp.float32) for s in srcs], pos_levels, masks,
+                [s.astype(fdt) for s in srcs], pos_levels, masks,
                 deterministic,
             )
+            mem_levels = [m.astype(jnp.float32) for m in mem_levels]
+            pos_levels = [p.astype(jnp.float32) for p in pos_levels]
             return self._common_grid_decode(
                 mem_levels, pos_levels, masks, spatial_shapes,
                 refpoint_embed, deterministic,
