@@ -28,8 +28,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.deform_attn import directional_offset_init
-from ..ops.fast_deform import align_level, windowed_blend_fused
+from ..ops.deform_attn import directional_offset_init_l3hp
+from ..ops.fast_deform import align_level
+from ..ops.fast_deform_pallas import windowed_blend_comps
 
 
 class FastDeformAttn3D(nn.Module):
@@ -46,6 +47,7 @@ class FastDeformAttn3D(nn.Module):
     n_points: int = 8
     radius: int = 1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -56,17 +58,22 @@ class FastDeformAttn3D(nn.Module):
     ) -> List[jnp.ndarray]:
         nh, nl, np_, r = self.n_heads, self.n_levels, self.n_points, self.radius
         head_dim = self.d_model // nh
+        kp = nh * np_
 
         value_proj = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")
+        # lane layouts are (level, component, head, point) for offsets and
+        # (level, head, point) for weights: per-(level, component) slices
+        # are contiguous lane ranges, so the blend consumes them without
+        # any lane-padded transposes (see ops/fast_deform_pallas.py)
         offset_head = nn.Dense(
-            nh * nl * np_ * 3,
+            nl * 3 * kp,
             kernel_init=nn.initializers.zeros,
-            bias_init=lambda *_: directional_offset_init(nh, nl, np_),
+            bias_init=lambda *_: directional_offset_init_l3hp(nh, nl, np_),
             dtype=self.dtype,
             name="sampling_offsets",
         )
         weight_head = nn.Dense(
-            nh * nl * np_,
+            nl * kp,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
@@ -81,21 +88,62 @@ class FastDeformAttn3D(nn.Module):
                 v = jnp.where(mask_levels[j][..., None], 0.0, v)
             values.append(v.reshape(v.shape[:4] + (nh, head_dim)))
 
+        # flat-lane per-head softmax: with lanes (L, h, P), head(k) is
+        # (k // P) % nh; the denominator is one matmul against a constant
+        # same-head indicator, and subtracting the row max (constant within
+        # every head group) keeps it stable — no (.., nh, L*P) reshape ever
+        # materializes in a lane-padded layout.
+        head_ind = jnp.asarray(
+            (jnp.arange(nl * kp)[:, None] // np_ % nh)
+            == (jnp.arange(nl * kp)[None, :] // np_ % nh),
+            jnp.float32,
+        )
+
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
         outs = []
         for i, (s, p) in enumerate(zip(src_levels, pos_levels)):
             q = s + p
             b, t, h, w, _ = q.shape
-            # elementwise ops run on flat [..., nh*L*P*{3,1}] lanes; the
-            # logical reshapes happen after, so no lane-padded (.., 3) or
-            # (.., P) tensor is ever materialized (see windowed_blend_fused)
-            raw = r * jnp.tanh(offset_head(q))
-            offsets = raw.reshape(b, t, h, w, nh, nl, np_, 3)
-            logits = weight_head(q).reshape(b, t, h, w, nh, nl * np_)
-            weights = jax.nn.softmax(logits, axis=-1).reshape(
-                b, t, h, w, nh, nl, np_
+            raw = r * jnp.tanh(offset_head(q))       # [.., L*3*kp]
+            logits = weight_head(q).astype(jnp.float32)  # [.., L*kp]
+            z = logits - jax.lax.stop_gradient(
+                jnp.max(logits, axis=-1, keepdims=True)
             )
+            e = jnp.exp(z)
+            a_flat = (
+                e / jnp.einsum("...k,kc->...c", e, head_ind)
+            ).astype(self.dtype)
+
+            dx = jnp.stack(
+                [raw[..., (3 * j + 0) * kp : (3 * j + 1) * kp]
+                 for j in range(nl)], axis=1)
+            dy = jnp.stack(
+                [raw[..., (3 * j + 1) * kp : (3 * j + 2) * kp]
+                 for j in range(nl)], axis=1)
+            dt = jnp.stack(
+                [raw[..., (3 * j + 2) * kp : (3 * j + 3) * kp]
+                 for j in range(nl)], axis=1)
+            a = jnp.stack(
+                [a_flat[..., j * kp : (j + 1) * kp] for j in range(nl)],
+                axis=1)
+
             aligned = [align_level(v, (h, w)) for v in values]
-            out = windowed_blend_fused(aligned, offsets, weights, r)
+            if r == 1:
+                out = windowed_blend_comps(
+                    aligned, dx, dy, dt, a, use_pallas=use_pallas,
+                    precise=jnp.dtype(self.dtype) == jnp.float32,
+                ).astype(self.dtype)
+            else:
+                # general-radius XLA path (kernel is radius-1 only)
+                from ..ops.fast_deform import windowed_blend_fused
+
+                offsets = jnp.stack([dx, dy, dt], axis=-1).reshape(
+                    b, nl, t, h, w, nh, np_, 3
+                ).transpose(0, 2, 3, 4, 5, 1, 6, 7)
+                weights = a.reshape(b, nl, t, h, w, nh, np_).transpose(
+                    0, 2, 3, 4, 5, 1, 6
+                )
+                out = windowed_blend_fused(aligned, offsets, weights, r)
             outs.append(output_proj(out.reshape(b, t, h, w, self.d_model)))
         return outs
 
@@ -112,6 +160,7 @@ class FastEncoderLayer(nn.Module):
     radius: int = 1
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -119,7 +168,7 @@ class FastEncoderLayer(nn.Module):
     ):
         attn_outs = FastDeformAttn3D(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.radius, self.dtype, name="self_attn",
+            self.radius, self.dtype, self.use_pallas, name="self_attn",
         )(src_levels, pos_levels, mask_levels)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
@@ -149,6 +198,7 @@ class FastDeformableEncoder(nn.Module):
     radius: int = 1
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = True
     remat: bool = False
 
     @nn.compact
@@ -167,6 +217,6 @@ class FastDeformableEncoder(nn.Module):
             out = layer_cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
                 self.n_points, self.radius, self.dropout, self.dtype,
-                name=f"layers_{i}",
+                self.use_pallas, name=f"layers_{i}",
             )(out, pos_levels, mask_levels, deterministic)
         return out

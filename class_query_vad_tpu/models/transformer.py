@@ -93,7 +93,7 @@ class DABTransformer(nn.Module):
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 self.fast_radius, self.dropout, jnp.dtype(self.fast_dtype),
-                self.remat, name="encoder",
+                remat=self.remat, name="encoder",
             )
         elif self.encoder_type in ("ssm", "vssm"):
             from .ssm_encoder import SSMEncoder

@@ -301,3 +301,15 @@ def directional_offset_init(
     point_scale = jnp.arange(1, n_points + 1, dtype=jnp.float32)[None, None, :, None]
     grid = grid * point_scale
     return grid.reshape(-1)
+
+
+def directional_offset_init_l3hp(
+    n_heads: int, n_levels: int, n_points: int
+) -> jnp.ndarray:
+    """directional_offset_init permuted to (level, component, head, point)
+    lane order — the fast encoder's offset head uses this layout so that
+    per-(level, component) slices are contiguous lane ranges (no padded
+    transposes on TPU; see ops/fast_deform_pallas.py)."""
+    g = directional_offset_init(n_heads, n_levels, n_points)
+    g = g.reshape(n_heads, n_levels, n_points, 3)
+    return g.transpose(1, 3, 0, 2).reshape(-1)

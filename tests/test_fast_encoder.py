@@ -160,3 +160,120 @@ def test_fast_encoder_model_forward():
     out = jax.jit(model.apply, static_argnums=(3,))(params, pixels, mask, True)
     for k in ("pred_logits", "pred_boxes", "pred_logits_b"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_windowed_blend_pallas_matches_fused():
+    from class_query_vad_tpu.ops.fast_deform import windowed_blend_fused
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        windowed_blend_pallas,
+        windowed_blend_pallas_ok,
+    )
+
+    rng = np.random.default_rng(5)
+    B, T, H, W, nh, D, L, P, R = 2, 3, 8, 16, 8, 32, 2, 4, 1
+    assert windowed_blend_pallas_ok(T, H, W, nh * D, R)
+    aligned = [
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, D)), jnp.float32)
+        for _ in range(L)
+    ]
+    offsets = jnp.asarray(
+        rng.uniform(-0.95, 0.95, (B, T, H, W, nh, L, P, 3)), jnp.float32
+    )
+    weights = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, L * P)), jnp.float32)
+    ).reshape(B, T, H, W, nh, L, P)
+
+    want = np.asarray(windowed_blend_fused(aligned, offsets, weights, R))
+    got = np.asarray(
+        windowed_blend_pallas(aligned, offsets, weights, R, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_blend_pallas_grads():
+    from class_query_vad_tpu.ops.fast_deform import windowed_blend_fused
+    from class_query_vad_tpu.ops.fast_deform_pallas import windowed_blend_pallas
+
+    rng = np.random.default_rng(6)
+    B, T, H, W, nh, D, L, P, R = 1, 2, 8, 8, 8, 32, 1, 2, 1
+    aligned = [jnp.asarray(rng.normal(size=(B, T, H, W, nh, D)), jnp.float32)]
+    offsets = jnp.asarray(
+        rng.uniform(-0.9, 0.9, (B, T, H, W, nh, L, P, 3)), jnp.float32
+    )
+    weights = jnp.asarray(
+        rng.uniform(0.1, 1.0, (B, T, H, W, nh, L, P)), jnp.float32
+    )
+
+    def f_pallas(o, w_):
+        return windowed_blend_pallas(aligned, o, w_, R, interpret=True).sum()
+
+    def f_xla(o, w_):
+        return windowed_blend_fused(aligned, o, w_, R).sum()
+
+    gp = jax.grad(f_pallas, argnums=(0, 1))(offsets, weights)
+    gx = jax.grad(f_xla, argnums=(0, 1))(offsets, weights)
+    for a_, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_blend_comps_matches_fused_with_padding():
+    """The comps entry (contiguous-lane layout + W-padding for non-8-multiple
+    grids) must equal the reference fused blend, including the pallas
+    interpret path on a W=10 grid."""
+    from class_query_vad_tpu.ops.fast_deform import windowed_blend_fused
+    from class_query_vad_tpu.ops.fast_deform_pallas import windowed_blend_comps
+
+    rng = np.random.default_rng(7)
+    B, T, H, W, nh, D, L, P = 1, 3, 8, 10, 8, 32, 2, 4
+    aligned = [
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, D)), jnp.float32)
+        for _ in range(L)
+    ]
+    offsets = jnp.asarray(
+        rng.uniform(-0.95, 0.95, (B, T, H, W, nh, L, P, 3)), jnp.float32
+    )
+    weights = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, L * P)), jnp.float32)
+    ).reshape(B, T, H, W, nh, L, P)
+    want = np.asarray(windowed_blend_fused(aligned, offsets, weights, 1))
+
+    # comps layout: [B, J, T, H, W, nh*P]
+    dx = offsets[..., 0].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+    dy = offsets[..., 1].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+    dt = offsets[..., 2].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+    a = weights.transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+
+    got_xla = np.asarray(
+        windowed_blend_comps(aligned, dx, dy, dt, a, use_pallas=False)
+    )
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-5)
+
+    got_pk = np.asarray(
+        windowed_blend_comps(aligned, dx, dy, dt, a, use_pallas=True,
+                             interpret=True)
+    )
+    np.testing.assert_allclose(got_pk, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flat_lane_softmax_matches_reference():
+    """The encoder's matmul-denominator softmax over (L, P) lanes per head
+    equals jax.nn.softmax on the transposed layout."""
+    rng = np.random.default_rng(8)
+    nh, L, P = 8, 4, 8
+    kp = nh * P
+    logits = jnp.asarray(rng.normal(size=(5, L * kp)) * 3, jnp.float32)
+    head_ind = jnp.asarray(
+        (jnp.arange(L * kp)[:, None] // P % nh)
+        == (jnp.arange(L * kp)[None, :] // P % nh),
+        jnp.float32,
+    )
+    z = logits - jnp.max(logits, -1, keepdims=True)
+    e = jnp.exp(z)
+    got = np.asarray(e / jnp.einsum("...k,kc->...c", e, head_ind))
+    # reference: reshape (L, nh, P) -> per-head softmax over (L, P)
+    ref_in = np.asarray(logits).reshape(5, L, nh, P).transpose(0, 2, 1, 3)
+    ref = np.asarray(
+        jax.nn.softmax(jnp.asarray(ref_in).reshape(5, nh, L * P), -1)
+    ).reshape(5, nh, L, P).transpose(0, 2, 1, 3).reshape(5, L * kp)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
