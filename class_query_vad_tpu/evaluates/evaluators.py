@@ -378,3 +378,70 @@ class STDetectionEvaluaterJHMDB(_TubeEvaluaterBase):
 
     def evaluate(self):
         return super().evaluate(temporal=False)
+
+
+class STDetectionEvaluaterSinglePerson(STDetectionEvaluaterAVA):
+    """Size-bucketed single-class (actorness) AVA evaluator — the
+    reference's diagnostic variant (evaluate_ava.py:178-331): scores only
+    the person class, keeping boxes whose pixel area falls inside
+    [threshold_size_min, threshold_size_max).  Useful for mAP-by-box-size
+    breakdowns.  Consumes the same per-rank txt protocol; the detection
+    score is the trailing actorness probability column."""
+
+    def __init__(self, label_path: str = "", tiou_thresholds=(0.5,),
+                 class_num: int = 80,
+                 threshold_size_min: float = 0.0,
+                 threshold_size_max: float = 555.0 * 555.0):
+        super().__init__("", tiou_thresholds, class_num=1)
+        self.det_class_num = class_num
+        self.threshold_size_min = threshold_size_min
+        self.threshold_size_max = threshold_size_max
+
+    def _in_bucket(self, box) -> bool:
+        area = max(0.0, box[2] - box[0]) * max(0.0, box[3] - box[1])
+        return self.threshold_size_min <= area < self.threshold_size_max
+
+    def load_GT_from_path(self, file_lst: Sequence[str]):
+        per_image = defaultdict(lambda: ([], []))
+        for path in file_lst:
+            for line in open(path):
+                key, data = _parse_line(line)
+                box = np.array(data[2:6])
+                if self._in_bucket(box):
+                    per_image[key][0].append(box)
+                    per_image[key][1].append(0)
+        for key, (boxes, classes) in per_image.items():
+            if boxes:
+                for ev in self.evaluators:
+                    ev.add_ground_truth(key, np.stack(boxes), np.array(classes))
+
+    def load_detection_from_path(self, file_lst: Sequence[str]):
+        per_image = defaultdict(lambda: ([], [], []))
+        for path in file_lst:
+            for line in open(path):
+                key, data = _parse_line(line)
+                box = np.array(data[0:4])
+                if self._in_bucket(box):
+                    per_image[key][0].append(box)
+                    per_image[key][1].append(0)
+                    # actorness prob is the trailing column
+                    per_image[key][2].append(data[4 + self.det_class_num])
+        for key, (boxes, classes, scores) in per_image.items():
+            if boxes:
+                for ev in self.evaluators:
+                    ev.add_detections(
+                        key, np.stack(boxes), np.array(classes),
+                        np.array(scores),
+                    )
+
+
+def get_prior_length(dataset: dict) -> dict:
+    """Mean train-tube length per class from a UCF/JHMDB-GT pickle dict
+    (reference evaluate_ucf.py:249-276; computed but unused there — kept
+    for diagnostics).  Returns {1-based class id: mean frames}."""
+    res = {}
+    for v in dataset["train_videos"][0]:
+        ilabel, tubes = list(dataset["gttubes"][v].items())[0]
+        res.setdefault(ilabel + 1, []).extend(t.shape[0] for t in tubes)
+    return {cls: float(sum(ls)) / max(len(ls), 1)
+            for cls, ls in sorted(res.items())}

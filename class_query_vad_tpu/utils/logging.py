@@ -65,14 +65,19 @@ class ExpAverageMeter:
 
 
 class MetricsLogger:
-    """Console + JSON-lines + optional wandb."""
+    """Console + JSON-lines + optional wandb / tensorboard sinks
+    (reference: wandb on rank 0 in train.py:84-105; tensorboard hooks in
+    utils/misc.py:243-250)."""
 
-    def __init__(self, cfg, rank: int = 0, use_wandb: bool = False):
+    def __init__(self, cfg, rank: int = 0, use_wandb: bool = False,
+                 use_tensorboard: bool = False):
         self.rank = rank
+        self.step = 0
         self.log_path = os.path.join(
             cfg.CONFIG.LOG.BASE_PATH, cfg.CONFIG.LOG.EXP_NAME
         )
         self.wandb = None
+        self.tb = None
         if use_wandb and rank == 0:
             try:
                 import wandb
@@ -81,13 +86,27 @@ class MetricsLogger:
                 wandb.init(project=cfg.CONFIG.MODEL.NAME or "class-query-vad")
             except ImportError:
                 print("wandb not available; falling back to JSON lines")
+        if use_tensorboard and rank == 0:
+            try:
+                from flax.metrics.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    os.path.join(self.log_path, cfg.CONFIG.LOG.LOG_DIR)
+                )
+            except ImportError:
+                print("tensorboard not available; falling back to JSON lines")
 
     def log(self, metrics: Dict):
         if self.rank != 0:
             return
+        self.step += 1
         print(json.dumps(metrics))
         os.makedirs(self.log_path, exist_ok=True)
         with open(os.path.join(self.log_path, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(metrics) + "\n")
         if self.wandb is not None:
             self.wandb.log(metrics)
+        if self.tb is not None:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self.tb.scalar(k, v, self.step)

@@ -201,3 +201,64 @@ def test_checkpoint_rng_roundtrip(tmp_path):
     assert meta["epoch"] == 0
     assert random.random() == want_py
     assert np.random.rand() == want_np
+
+
+def test_single_person_evaluator_size_buckets(tmp_path):
+    from class_query_vad_tpu.evaluates.evaluators import (
+        STDetectionEvaluaterSinglePerson,
+    )
+
+    gt = tmp_path / "GT_0.txt"
+    det = tmp_path / "0.txt"
+    gt.write_text("v_001 [0,0,10,10,40,40,1.0]\n")          # area 900
+    det.write_text(
+        "v_001 [10,10,40,40,0.3,0.2,0.9]\n"                  # area 900, hit
+        "v_001 [100,100,400,400,0.1,0.1,0.8]\n"              # area 90000
+    )
+    ev = STDetectionEvaluaterSinglePerson(class_num=2)
+    ev.load_GT_from_path([str(gt)])
+    ev.load_detection_from_path([str(det)])
+    mAP, _ = ev.evaluate()
+    assert mAP[0] == pytest.approx(1.0)
+
+    # small-only bucket excludes everything bigger than 50x50
+    ev2 = STDetectionEvaluaterSinglePerson(
+        class_num=2, threshold_size_max=2500.0
+    )
+    ev2.load_GT_from_path([str(gt)])
+    ev2.load_detection_from_path([str(det)])
+    mAP2, _ = ev2.evaluate()
+    assert mAP2[0] == pytest.approx(1.0)   # big det filtered, hit remains
+
+
+def test_get_prior_length():
+    from class_query_vad_tpu.evaluates.evaluators import get_prior_length
+
+    ds = {
+        "train_videos": [["a", "b"]],
+        "gttubes": {
+            "a": {0: [np.zeros((5, 5))]},
+            "b": {1: [np.zeros((9, 5)), np.zeros((3, 5))]},
+        },
+    }
+    assert get_prior_length(ds) == {1: 5.0, 2: 6.0}
+
+
+def test_image_classification_config():
+    from class_query_vad_tpu.config.image_defaults import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    assert cfg.CONFIG.TRAIN.EPOCH_NUM == 300
+    assert cfg.CONFIG.DATA.NUM_CLASSES == 1000
+    cfg.CONFIG.EXTRA = {"free": 1}   # CONFIG subtree is open
+
+
+def test_legacy_evaluate_signature():
+    import inspect
+
+    from class_query_vad_tpu.engine.legacy import evaluate
+
+    sig = inspect.signature(evaluate)
+    assert list(sig.parameters)[:5] == [
+        "cfg", "model", "params", "postprocessor", "data_loader"
+    ]
