@@ -182,25 +182,278 @@ def _blend_xla(vp_pad, dx, dy, dt, a, nh: int = 8):
     return out.reshape(b, t, h, w, c)
 
 
+def _blend_xla_vol(vol, dx, dy, dt, a, nh: int = 8):
+    """XLA oracle on the unpadded stacked volume [B, J, T, H, W, C]."""
+    vp_pad = jnp.pad(vol, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    return _blend_xla(vp_pad, dx, dy, dt, a, nh)
+
+
+def _halo_stack(x, axis_t, axis_h):
+    """Pad x by 1 on (t, h, w) spatial axes and stack the three h-offset
+    copies on a new leading axis (the kernel's halo decomposition)."""
+    pads = [(0, 0)] * x.ndim
+    for ax in (axis_t, axis_t + 1, axis_t + 2):
+        pads[ax] = (1, 1)
+    xp = jnp.pad(x, pads)
+    h = x.shape[axis_h]
+    sl = [slice(None)] * xp.ndim
+    copies = []
+    for k in range(3):
+        sl[axis_h] = slice(k, k + h)
+        copies.append(xp[tuple(sl)])
+    return jnp.stack(copies, axis=0)
+
+
+def _bwd_dcomps_kernel(r_ref, e_ref, g_ref, dx_ref, dy_ref, dt_ref, a_ref,
+                       *refs, precise: bool):
+    """Gradients wrt (dx, dy, dt, a) — forward halo structure: vp haloed,
+    cotangent G and comps centred.  r = per-head <G, vp_s> reduces C -> nh;
+    e expands nh -> nh*P."""
+    vp_refs = refs[:-4]
+    da_ref, ddx_ref, ddy_ref, ddt_ref = refs[-4:]
+    prec = jax.lax.Precision.HIGHEST if precise else None
+
+    ht_, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    g = g_ref[0].astype(jnp.float32)                  # [Ht, W, C]
+    dx = dx_ref[0, 0].astype(jnp.float32)
+    dy = dy_ref[0, 0].astype(jnp.float32)
+    dt = dt_ref[0, 0].astype(jnp.float32)
+    a = a_ref[0, 0].astype(jnp.float32)
+    rmat = r_ref[...]
+    emat = e_ref[...]
+
+    def hat(u):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+    def dhat(u):
+        # matches XLA's subgradient conventions exactly: abs'(0) = +1
+        # (lax.abs uses select(u >= 0)) and max splits the |u| == 1 tie in
+        # half — both kinks are reachable when tanh saturates offsets
+        au = jnp.abs(u)
+        inner = jnp.where(u >= 0.0, -1.0, 1.0)
+        return jnp.where(
+            au < 1.0, inner, jnp.where(au == 1.0, 0.5 * inner, 0.0)
+        )
+
+    hx = [hat(dx - (k - 1)) for k in range(3)]
+    hy = [hat(dy - (k - 1)) for k in range(3)]
+    htt = [hat(dt - (k - 1)) for k in range(3)]
+    dhx = [dhat(dx - (k - 1)) for k in range(3)]
+    dhy = [dhat(dy - (k - 1)) for k in range(3)]
+    dhtt = [dhat(dt - (k - 1)) for k in range(3)]
+
+    da = jnp.zeros((ht_, w, kp), jnp.float32)
+    ddx = jnp.zeros((ht_, w, kp), jnp.float32)
+    ddy = jnp.zeros((ht_, w, kp), jnp.float32)
+    ddt = jnp.zeros((ht_, w, kp), jnp.float32)
+    for it in range(3):
+        for ih in range(3):
+            vp = vp_refs[it * 3 + ih][0, 0, 0]
+            for ix in range(3):
+                gv = (g * vp[:, ix : ix + w, :].astype(jnp.float32))
+                r = jax.lax.dot(
+                    gv.reshape(ht_ * w, -1), rmat,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                rk = jax.lax.dot(
+                    r, emat, preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).reshape(ht_, w, kp)
+                da = da + rk * (hx[ix] * hy[ih] * htt[it])
+                ddx = ddx + rk * (a * hy[ih] * htt[it]) * dhx[ix]
+                ddy = ddy + rk * (a * hx[ix] * htt[it]) * dhy[ih]
+                ddt = ddt + rk * (a * hx[ix] * hy[ih]) * dhtt[it]
+    da_ref[0, 0] = da.astype(da_ref.dtype)
+    ddx_ref[0, 0] = ddx.astype(ddx_ref.dtype)
+    ddy_ref[0, 0] = ddy.astype(ddy_ref.dtype)
+    ddt_ref[0, 0] = ddt.astype(ddt_ref.dtype)
+
+
+def _bwd_dvol_kernel(s_ref, *refs, precise: bool):
+    """Gradient wrt the value volume — reversed stencil: the cotangent G
+    and the comps are haloed, output dvol is centred.
+
+    dvol[q] = sum_d m(q + d, s = -d) * G(q + d): slice index k on an input
+    selects position offset d = k - 1, and the hat shift argument is then
+    s = -(k - 1) = 1 - k.
+    """
+    g_refs = refs[:9]
+    dx_refs = refs[9:18]
+    dy_refs = refs[18:27]
+    dt_refs = refs[27:36]
+    a_refs = refs[36:45]
+    out_ref = refs[45]
+    prec = jax.lax.Precision.HIGHEST if precise else None
+
+    ht_, w = out_ref.shape[2], out_ref.shape[3]
+    kp = dx_refs[0].shape[-1]
+    c = out_ref.shape[-1]
+    sel = s_ref[...]
+
+    acc = jnp.zeros((ht_, w, c), jnp.float32)
+    for it in range(3):
+        st = 1 - it
+        for ih in range(3):
+            sy = 1 - ih
+            i9 = it * 3 + ih
+            gs = g_refs[i9][0, 0]                   # [Ht, W+2, C]
+            dxs = dx_refs[i9][0, 0, 0]              # [Ht, W+2, kp]
+            dys = dy_refs[i9][0, 0, 0]
+            dts = dt_refs[i9][0, 0, 0]
+            as_ = a_refs[i9][0, 0, 0]
+            hty = (
+                as_.astype(jnp.float32)
+                * jnp.maximum(0.0, 1.0 - jnp.abs(dts.astype(jnp.float32) - st))
+                * jnp.maximum(0.0, 1.0 - jnp.abs(dys.astype(jnp.float32) - sy))
+            )
+            for ix in range(3):
+                sx = 1 - ix
+                hat = hty[:, ix : ix + w, :] * jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(
+                        dxs[:, ix : ix + w, :].astype(jnp.float32) - sx
+                    ),
+                )
+                m = jax.lax.dot(
+                    hat.reshape(ht_ * w, kp), sel,
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).reshape(ht_, w, c)
+                acc = acc + m * gs[:, ix : ix + w, :].astype(jnp.float32)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _bwd_b1(gvs, vps, dxh, dyh, dth, ah, dxc, dyc, dtc, ac, g_center,
+            vol_dtype, comp_dtype, *, precise=False, interpret=False):
+    """Single-batch backward: returns (dvol, ddx, ddy, ddt, da).
+
+    gvs   [3, T+2, H, W+2, C]   haloed cotangent
+    vps   [3, J, T+2, H, W+2, C] haloed values (forward's input)
+    d*h/ah [3, J, T+2, H, W+2, kp] haloed comps
+    d*c/ac [J, T, H, W, kp]      centred comps
+    g_center [T, H, W, C]        centred cotangent
+    """
+    _, jl, tp2, h, wp, c = vps.shape
+    t, w = tp2 - 2, wp - 2
+    kp = dxc.shape[-1]
+    ht_ = _pick_ht(t, h, w, c)
+    grid = (t, h // ht_, jl)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 2 ** 20,
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+    )
+
+    halo6 = [
+        pl.BlockSpec(
+            (1, 1, 1, ht_, wp, None),
+            functools.partial(
+                lambda ti, hb, j, *, k, dt_: (k, j, ti + dt_, hb, 0, 0),
+                k=k, dt_=dt_,
+            ),
+        )
+        for dt_ in range(3)
+        for k in range(3)
+    ]
+
+    def sized(specs, lanes):
+        return [
+            pl.BlockSpec(sp.block_shape[:-1] + (lanes,), sp.index_map)
+            for sp in specs
+        ]
+
+    ghalo = [
+        pl.BlockSpec(
+            (1, 1, ht_, wp, c),
+            functools.partial(
+                lambda ti, hb, j, *, k, dt_: (k, ti + dt_, hb, 0, 0),
+                k=k, dt_=dt_,
+            ),
+        )
+        for dt_ in range(3)
+        for k in range(3)
+    ]
+    comp_c_spec = pl.BlockSpec(
+        (1, 1, ht_, w, kp), lambda ti, hb, j: (j, ti, hb, 0, 0)
+    )
+    gc_spec = pl.BlockSpec((1, ht_, w, c), lambda ti, hb, j: (ti, hb, 0, 0))
+    out_j_spec = lambda lanes: pl.BlockSpec(
+        (1, 1, ht_, w, lanes), lambda ti, hb, j: (j, ti, hb, 0, 0)
+    )
+
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+    # rmat [c, nh]: R[ch, h] = 1 iff ch // d == h (per-head C reduction)
+    d_ = c // 8
+    rmat = jnp.zeros((c, 8), jnp.float32).at[
+        jnp.arange(c), jnp.arange(c) // d_].set(1.0)
+    emat = jnp.zeros((8, kp), jnp.float32).at[
+        jnp.arange(kp) // (kp // 8), jnp.arange(kp)].set(1.0)
+
+    dvol = pl.pallas_call(
+        functools.partial(_bwd_dvol_kernel, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti, hb, j: (0, 0)),
+            *ghalo,
+            *sized(halo6, kp), *sized(halo6, kp),
+            *sized(halo6, kp), *sized(halo6, kp),
+        ],
+        out_specs=out_j_spec(c),
+        out_shape=jax.ShapeDtypeStruct((jl, t, h, w, c), vol_dtype),
+        compiler_params=params,
+        interpret=interpret,
+    )(sel, *([gvs] * 9), *([dxh] * 9), *([dyh] * 9), *([dth] * 9),
+      *([ah] * 9))
+
+    da, ddx, ddy, ddt = pl.pallas_call(
+        functools.partial(_bwd_dcomps_kernel, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, 8), lambda ti, hb, j: (0, 0)),
+            pl.BlockSpec((8, kp), lambda ti, hb, j: (0, 0)),
+            gc_spec,
+            comp_c_spec, comp_c_spec, comp_c_spec, comp_c_spec,
+            *sized(halo6, c),
+        ],
+        out_specs=[out_j_spec(kp)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((jl, t, h, w, kp), comp_dtype)
+        ] * 4,
+        compiler_params=params,
+        interpret=interpret,
+    )(rmat, emat, g_center, dxc, dyc, dtc, ac, *([vps] * 9))
+    return dvol, ddx, ddy, ddt, da
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _blend(vp_pad, dx, dy, dt, a, precise=False, interpret=False):
-    """vp_pad [B, J, T+2, H+2, W+2, C] -> out [B, T, H, W, C] fp32."""
-    h = dx.shape[3]
-    vps = jnp.stack([vp_pad[:, :, :, k : k + h] for k in range(3)], axis=1)
+def _blend(vol, dx, dy, dt, a, precise=False, interpret=False):
+    """vol [B, J, T, H, W, C] (unpadded) -> out [B, T, H, W, C] fp32."""
+    vps = _halo_stack(vol, 2, 3)                 # [3, B, J, T+2, H, W+2, C]
+    vps = jnp.moveaxis(vps, 0, 1)                # [B, 3, J, ...]
     return jax.vmap(
         functools.partial(_blend_pallas_b1, precise=precise,
                           interpret=interpret)
     )(vps, dx, dy, dt, a)
 
 
-def _blend_fwd(vp_pad, dx, dy, dt, a, precise, interpret):
-    return (_blend(vp_pad, dx, dy, dt, a, precise, interpret),
-            (vp_pad, dx, dy, dt, a))
+def _blend_fwd(vol, dx, dy, dt, a, precise, interpret):
+    return (_blend(vol, dx, dy, dt, a, precise, interpret),
+            (vol, dx, dy, dt, a))
 
 
 def _blend_bwd(precise, interpret, res, g):
-    _, vjp = jax.vjp(_blend_xla, *res)
-    return vjp(g)
+    vol, dx, dy, dt, a = res
+    vps = jnp.moveaxis(_halo_stack(vol, 2, 3), 0, 1)
+    gvs = jnp.moveaxis(_halo_stack(g, 1, 2), 0, 1)   # [B, 3, T+2, H, W+2, C]
+    dxh = jnp.moveaxis(_halo_stack(dx, 2, 3), 0, 1)
+    dyh = jnp.moveaxis(_halo_stack(dy, 2, 3), 0, 1)
+    dth = jnp.moveaxis(_halo_stack(dt, 2, 3), 0, 1)
+    ah = jnp.moveaxis(_halo_stack(a, 2, 3), 0, 1)
+    dvol, ddx, ddy, ddt, da = jax.vmap(
+        functools.partial(
+            _bwd_b1, vol_dtype=vol.dtype, comp_dtype=dx.dtype,
+            precise=precise, interpret=interpret,
+        )
+    )(gvs, vps, dxh, dyh, dth, ah, dx, dy, dt, a, g)
+    return dvol, ddx, ddy, ddt, da
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
@@ -227,8 +480,6 @@ def windowed_blend_pallas(
     vol = jnp.stack(
         [v.reshape(b, t, h, w, nh * d) for v in aligned], axis=1
     )                                               # [B, J, T, H, W, C]
-    pad = [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)]
-    vp_pad = jnp.pad(vol, pad)
     comps = []
     for comp in range(3):
         x = offsets[..., comp]                      # [B, T, H, W, nh, L, P]
@@ -236,7 +487,7 @@ def windowed_blend_pallas(
         comps.append(x)
     dx, dy, dt = comps
     a = weights.transpose(0, 5, 1, 2, 3, 4, 6).reshape(b, -1, t, h, w, nh * p)
-    out = _blend(vp_pad, dx, dy, dt, a, False, interpret)
+    out = _blend(vol, dx, dy, dt, a, False, interpret)
     return out.reshape(b, t, h, w, nh, d)
 
 
@@ -266,12 +517,8 @@ def windowed_blend_comps(
             grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
             vol = jnp.pad(vol, grid_pad)
             dx, dy, dt, a = (jnp.pad(x, grid_pad) for x in (dx, dy, dt, a))
-        vp_pad = jnp.pad(
-            vol, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)]
-        )
-        out = _blend(vp_pad, dx, dy, dt, a, precise, interpret)
+        out = _blend(vol, dx, dy, dt, a, precise, interpret)
         if ph or pw:
             out = out[:, :, :h, :w]
         return out.reshape(b, t, h, w, nh, d)
-    vp_pad = jnp.pad(vol, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
-    return _blend_xla(vp_pad, dx, dy, dt, a, nh).reshape(b, t, h, w, nh, d)
+    return _blend_xla_vol(vol, dx, dy, dt, a, nh).reshape(b, t, h, w, nh, d)

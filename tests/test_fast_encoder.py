@@ -277,3 +277,33 @@ def test_flat_lane_softmax_matches_reference():
         jax.nn.softmax(jnp.asarray(ref_in).reshape(5, nh, L * P), -1)
     ).reshape(5, nh, L, P).transpose(0, 2, 1, 3).reshape(5, L * kp)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_blend_kernel_vjp_matches_xla_oracle():
+    """The backward Pallas kernels (dvol reversed stencil + dcomps) must
+    match jax.vjp of the XLA reference for every input."""
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        _blend,
+        _blend_xla_vol,
+    )
+
+    rng = np.random.default_rng(11)
+    B, J, T, H, W, C, KP = 2, 2, 3, 8, 16, 256, 64
+    vol = jnp.asarray(rng.normal(size=(B, J, T, H, W, C)), jnp.float32)
+    dx, dy, dt = (
+        jnp.asarray(rng.uniform(-0.97, 0.97, (B, J, T, H, W, KP)), jnp.float32)
+        for _ in range(3)
+    )
+    a = jnp.asarray(rng.uniform(0.05, 1, (B, J, T, H, W, KP)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, T, H, W, C)), jnp.float32)
+
+    out_k, vjp_k = jax.vjp(lambda *z: _blend(*z, False, True), vol, dx, dy, dt, a)
+    out_x, vjp_x = jax.vjp(lambda *z: _blend_xla_vol(*z), vol, dx, dy, dt, a)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    for name, gk, gx in zip(("dvol", "ddx", "ddy", "ddt", "da"),
+                            vjp_k(g), vjp_x(g)):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
