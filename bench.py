@@ -50,18 +50,24 @@ def main():
         jax.random.PRNGKey(0), pixels, mask, True
     )
 
-    # NOTE: timing forces a host materialization per call — over this
-    # environment's remote-device tunnel, block_until_ready alone returns
-    # early and reports phantom numbers.
+    # Timing method (see PERF.md "Measurement pitfalls"): dispatch all
+    # iterations asynchronously — the chip executes them back-to-back in
+    # dispatch order — and materialize ONLY the final output to host, which
+    # cannot complete before every queued step has.  This measures steady-
+    # state serving throughput without paying the tunnel's ~24 ms host
+    # round-trip once per step.  (block_until_ready alone is NOT trusted:
+    # over this remote-device tunnel it can return early; np.asarray of the
+    # last output is the ground truth.)
     fwd = jax.jit(
         lambda p, px, mk: model.apply(p, px, mk, True)["pred_boxes"].sum()
     )
     np.asarray(fwd(params, pixels, mask))   # compile + warm
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(fwd(params, pixels, mask))
+        out = fwd(params, pixels, mask)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     clips_per_sec = B / dt
 

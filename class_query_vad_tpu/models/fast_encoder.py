@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.deform_attn import directional_offset_init_l3hp
-from ..ops.fast_deform import align_level
+from ..ops.fast_deform import align_all_levels, align_level
 from ..ops.fast_deform_pallas import windowed_blend_comps
 
 
@@ -64,21 +64,31 @@ class FastDeformAttn3D(nn.Module):
         # lane layouts are (level, component, head, point) for offsets and
         # (level, head, point) for weights: per-(level, component) slices
         # are contiguous lane ranges, so the blend consumes them without
-        # any lane-padded transposes (see ops/fast_deform_pallas.py)
-        offset_head = nn.Dense(
-            nl * 3 * kp,
-            kernel_init=nn.initializers.zeros,
-            bias_init=lambda *_: directional_offset_init_l3hp(nh, nl, np_),
-            dtype=self.dtype,
-            name="sampling_offsets",
+        # any lane-padded transposes (see ops/fast_deform_pallas.py).
+        # The offset and weight heads both consume q, so their kernels are
+        # declared separately (clean init semantics) but applied as ONE
+        # fused matmul — offsets in lanes [0, nl*3*kp), weight logits in
+        # [nl*3*kp, nl*4*kp).
+        off_kernel = self.param(
+            "sampling_offsets_kernel", nn.initializers.zeros,
+            (self.d_model, nl * 3 * kp),
         )
-        weight_head = nn.Dense(
-            nl * kp,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="attention_weights",
+        off_bias = self.param(
+            "sampling_offsets_bias",
+            lambda *_: directional_offset_init_l3hp(nh, nl, np_),
+            (nl * 3 * kp,),
         )
+        w_kernel = self.param(
+            "attention_weights_kernel", nn.initializers.zeros,
+            (self.d_model, nl * kp),
+        )
+        w_bias = self.param(
+            "attention_weights_bias", nn.initializers.zeros, (nl * kp,)
+        )
+        head_kernel = jnp.concatenate(
+            [off_kernel, w_kernel], axis=1
+        ).astype(self.dtype)
+        head_bias = jnp.concatenate([off_bias, w_bias]).astype(self.dtype)
         output_proj = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")
 
         values = []
@@ -100,12 +110,24 @@ class FastDeformAttn3D(nn.Module):
         )
 
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+
+        # shared dyadic resample cascades: aligned_all[i][j] = level j on
+        # query grid i, each level's up/down chain computed once
+        grids = [s.shape[2:4] for s in src_levels]
+        ladder = all(
+            grids[k][0] == 2 * grids[k + 1][0]
+            and grids[k][1] == 2 * grids[k + 1][1]
+            for k in range(len(grids) - 1)
+        )
+        aligned_all = align_all_levels(values, grids) if ladder else None
+
         outs = []
         for i, (s, p) in enumerate(zip(src_levels, pos_levels)):
             q = s + p
             b, t, h, w, _ = q.shape
-            raw = r * jnp.tanh(offset_head(q))       # [.., L*3*kp]
-            logits = weight_head(q).astype(jnp.float32)  # [.., L*kp]
+            fused = q @ head_kernel + head_bias       # [.., L*4*kp]
+            raw = r * jnp.tanh(fused[..., : nl * 3 * kp])
+            logits = fused[..., nl * 3 * kp :].astype(jnp.float32)
             z = logits - jax.lax.stop_gradient(
                 jnp.max(logits, axis=-1, keepdims=True)
             )
@@ -127,7 +149,10 @@ class FastDeformAttn3D(nn.Module):
                 [a_flat[..., j * kp : (j + 1) * kp] for j in range(nl)],
                 axis=1)
 
-            aligned = [align_level(v, (h, w)) for v in values]
+            aligned = (
+                aligned_all[i] if aligned_all is not None
+                else [align_level(v, (h, w)) for v in values]
+            )
             if r == 1:
                 out = windowed_blend_comps(
                     aligned, dx, dy, dt, a, use_pallas=use_pallas,

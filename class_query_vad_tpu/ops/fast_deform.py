@@ -78,6 +78,53 @@ def align_level(feat: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return feat
 
 
+def align_all_levels(
+    values: Sequence[jnp.ndarray],           # per level [B, T, Hl, Wl, ...]
+    grids: Sequence[Tuple[int, int]],        # target (H, W) per query grid
+) -> List[List[jnp.ndarray]]:
+    """aligned[i][j] = value level j resampled onto query grid i.
+
+    Equivalent to ``[[align_level(v, g) for v in values] for g in grids]``
+    but computes each level's power-of-two cascade ONCE: the intermediate
+    resolutions of the cascade toward the extreme grids are exactly the
+    other grids, so every (level, grid) pair is read off a shared chain
+    instead of being recomputed from scratch (the FPN grids form one
+    dyadic ladder).  Cuts the encoder's per-layer resample work ~2x.
+    """
+    # collect every distinct resolution reachable: for each level walk
+    # up/down one step at a time, caching each intermediate
+    out: List[List[jnp.ndarray]] = [[None] * len(values) for _ in grids]
+    for j, v in enumerate(values):
+        cache = {v.shape[2:4]: v}
+
+        def get(hw, j=j, cache=cache):
+            if hw in cache:
+                return cache[hw]
+            h, w = hw
+            have = sorted(cache.keys())
+            # nearest cached resolution below/above (dyadic ladder: one
+            # unique predecessor per direction)
+            if any(ch < h for ch, _ in have):
+                src_hw = max((k for k in cache if k[0] < h),
+                             key=lambda k: k[0])
+                x = cache[src_hw]
+                while x.shape[2] < h:
+                    x = _up2(_up2(x, 2), 3)
+                    cache[x.shape[2:4]] = x
+            else:
+                src_hw = min((k for k in cache if k[0] > h),
+                             key=lambda k: k[0])
+                x = cache[src_hw]
+                while x.shape[2] > h:
+                    x = _down2(_down2(x, 2), 3)
+                    cache[x.shape[2:4]] = x
+            return cache[hw]
+
+        for i, hw in enumerate(grids):
+            out[i][j] = get(tuple(hw))
+    return out
+
+
 def window_masses(
     offsets: jnp.ndarray,   # [..., P, 3] pixel offsets in (x, y, t), |.| < R
     weights: jnp.ndarray,   # [..., P]    attention weights

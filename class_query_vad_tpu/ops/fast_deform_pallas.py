@@ -93,6 +93,95 @@ def _blend_kernel(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
     out_ref[0] = acc
 
 
+def _blend_kernel_v2(s_ref, dx_ref, dy_ref, dt_ref, a_ref, vp0, vp1, vp2,
+                     out_ref, *, precise: bool):
+    """Single-copy variant: the whole padded (H+2, W+2) plane of one t-row
+    is one block, so h- and w-shifts are both in-kernel static slices and
+    the volume needs NO h-copies in HBM.  The three t-shifts come from
+    three refs into the SAME array whose index maps are offset by +0/+1/+2.
+    Each value byte is read 3x (t-shifts) instead of 9x, and the halo-stack
+    write (3x volume) disappears entirely."""
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    c = out_ref.shape[-1]
+    dx = dx_ref[0, 0].astype(jnp.float32)     # [H, W, nh*P]
+    dy = dy_ref[0, 0].astype(jnp.float32)
+    dt = dt_ref[0, 0].astype(jnp.float32)
+    a = a_ref[0, 0].astype(jnp.float32)
+    sel = s_ref[...]
+
+    hx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (k - 1))) for k in range(3)]
+    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - (k - 1))) for k in range(3)]
+    htt = [jnp.maximum(0.0, 1.0 - jnp.abs(dt - (k - 1))) for k in range(3)]
+
+    acc = out_ref[0]                           # [H, W, C] fp32
+    for it, vp_ref in enumerate((vp0, vp1, vp2)):
+        vplane = vp_ref[0, 0]                  # [H+2, W+2, C]
+        at = a * htt[it]
+        for ih in range(3):
+            vh = vplane[ih : ih + h]           # [H, W+2, C]
+            aty = at * hy[ih]
+            for ix in range(3):
+                hat = (aty * hx[ix]).reshape(h * w, kp)
+                m = jax.lax.dot(
+                    hat, sel, preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).reshape(h, w, c)
+                acc = acc + m * vh[:, ix : ix + w, :].astype(jnp.float32)
+    out_ref[0] = acc
+
+
+def _v2_vmem_mb(t: int, h: int, w: int, c: int, kp: int) -> float:
+    """Double-buffered VMEM working set of the v2 kernel in MB."""
+    vp = 3 * (h + 2) * (w + 2) * c * 2          # three t-row planes, bf16
+    comps = 4 * h * w * kp * 2
+    out = h * w * c * 4
+    return (2 * (vp + comps) + 2 * out) / 2 ** 20
+
+
+def _blend_pallas_b1_v2(vp, dx, dy, dt, a, *, precise=False, interpret=False):
+    """vp [J, T+2, H+2, W+2, C] (zero-padded volume, no copies); dx/dy/dt/a
+    [J, T, H, W, nh*P] -> out [T, H, W, C] float32."""
+    jl, tp2, hp, wp, c = vp.shape
+    t, h, w = tp2 - 2, hp - 2, wp - 2
+    kp = dx.shape[-1]
+    grid = (t, jl)
+
+    vp_specs = [
+        pl.BlockSpec(
+            (1, 1, hp, wp, c),
+            functools.partial(lambda ti, j, *, dt_: (j, ti + dt_, 0, 0, 0),
+                              dt_=dt_),
+        )
+        for dt_ in range(3)
+    ]
+    comp_spec = pl.BlockSpec((1, 1, h, w, kp), lambda ti, j: (j, ti, 0, 0, 0))
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+
+    return pl.pallas_call(
+        functools.partial(_blend_kernel_v2, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti, j: (0, 0)),
+            comp_spec, comp_spec, comp_spec, comp_spec,
+            *vp_specs,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda ti, j: (ti, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, h, w, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sel, dx, dy, dt, a, *([vp] * 3))
+
+
 def _pick_ht(t: int, h: int, w: int, c: int, budget_mb: float = 24.0) -> int:
     """Largest divisor of h whose VMEM working set fits the budget."""
     for ht_ in (h, h // 2, h // 4, h // 8, 8):
@@ -426,6 +515,16 @@ def _bwd_b1(gvs, vps, dxh, dyh, dth, ah, dxc, dyc, dtc, ac, g_center,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _blend(vol, dx, dy, dt, a, precise=False, interpret=False):
     """vol [B, J, T, H, W, C] (unpadded) -> out [B, T, H, W, C] fp32."""
+    b, jl, t, h, w, c = vol.shape
+    kp = dx.shape[-1]
+    if _v2_vmem_mb(t, h, w, c, kp) <= 96.0:
+        vp = jnp.pad(
+            vol, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)]
+        )                                        # [B, J, T+2, H+2, W+2, C]
+        return jax.vmap(
+            functools.partial(_blend_pallas_b1_v2, precise=precise,
+                              interpret=interpret)
+        )(vp, dx, dy, dt, a)
     vps = _halo_stack(vol, 2, 3)                 # [3, B, J, T+2, H, W+2, C]
     vps = jnp.moveaxis(vps, 0, 1)                # [B, 3, J, ...]
     return jax.vmap(
