@@ -91,12 +91,17 @@ class FastDeformAttn3D(nn.Module):
         head_bias = jnp.concatenate([off_bias, w_bias]).astype(self.dtype)
         output_proj = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")
 
+        # values stay FLAT [B, T, H, W, C]: a trailing (nh, 32) head split
+        # would tile to (8, 128) with 3/4 of every lane tile wasted, 4x-ing
+        # the HBM traffic of the alignment cascades (measured: 4.3 -> 1.1
+        # ms/layer).  The blend kernel consumes flat lanes; only the XLA
+        # fallback needs nh, passed as a scalar.
         values = []
         for j, s in enumerate(src_levels):
             v = value_proj(s)
             if mask_levels is not None:
                 v = jnp.where(mask_levels[j][..., None], 0.0, v)
-            values.append(v.reshape(v.shape[:4] + (nh, head_dim)))
+            values.append(v)
 
         # flat-lane per-head softmax: with lanes (L, h, P), head(k) is
         # (k // P) % nh; the denominator is one matmul against a constant
@@ -155,7 +160,7 @@ class FastDeformAttn3D(nn.Module):
             )
             if r == 1:
                 out = windowed_blend_comps(
-                    aligned, dx, dy, dt, a, use_pallas=use_pallas,
+                    aligned, dx, dy, dt, a, nh=nh, use_pallas=use_pallas,
                     precise=jnp.dtype(self.dtype) == jnp.float32,
                 ).astype(self.dtype)
             else:
@@ -168,7 +173,10 @@ class FastDeformAttn3D(nn.Module):
                 weights = a.reshape(b, nl, t, h, w, nh, np_).transpose(
                     0, 2, 3, 4, 5, 1, 6
                 )
-                out = windowed_blend_fused(aligned, offsets, weights, r)
+                headed = [
+                    v.reshape(v.shape[:4] + (nh, head_dim)) for v in aligned
+                ]
+                out = windowed_blend_fused(headed, offsets, weights, r)
             outs.append(output_proj(out.reshape(b, t, h, w, self.d_model)))
         return outs
 

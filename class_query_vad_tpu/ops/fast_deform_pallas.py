@@ -591,11 +591,12 @@ def windowed_blend_pallas(
 
 
 def windowed_blend_comps(
-    aligned: Sequence[jnp.ndarray],  # per level [B, T, H, W, nh, D]
+    aligned: Sequence[jnp.ndarray],  # per level [B, T, H, W, C] (flat lanes)
     dx: jnp.ndarray,                 # [B, J, T, H, W, nh*P]
     dy: jnp.ndarray,
     dt: jnp.ndarray,
     a: jnp.ndarray,
+    nh: int = 8,
     use_pallas: bool = True,
     precise: bool = False,
     interpret: bool = False,
@@ -603,13 +604,16 @@ def windowed_blend_comps(
     """Radius-1 blend from pre-sliced per-level components (the fast
     encoder's native layout — contiguous lane slices, no transposes).
 
+    ``aligned`` carries FLAT channels [B, T, H, W, C=nh*D]: a trailing
+    (nh, D=32) split would waste 3/4 of every (8, 128) memory tile, 4x-ing
+    the HBM traffic of the alignment cascades that feed this op.
+
     Query grids whose H/W are not multiples of 8 are zero-padded up to the
     next multiple (padded queries carry zero weights and are sliced away),
-    so every level can take the kernel.  Returns [B, T, H, W, nh, D] fp32.
+    so every level can take the kernel.  Returns [B, T, H, W, C] fp32.
     """
-    b, t, h, w, nh, d = aligned[0].shape
-    c = nh * d
-    vol = jnp.stack([v.reshape(b, t, h, w, c) for v in aligned], axis=1)
+    b, t, h, w, c = aligned[0].shape
+    vol = jnp.stack(list(aligned), axis=1)
     if use_pallas and c % 256 == 0:
         ph, pw = (-h) % 8, (-w) % 8
         if ph or pw:
@@ -619,5 +623,5 @@ def windowed_blend_comps(
         out = _blend(vol, dx, dy, dt, a, precise, interpret)
         if ph or pw:
             out = out[:, :, :h, :w]
-        return out.reshape(b, t, h, w, nh, d)
-    return _blend_xla_vol(vol, dx, dy, dt, a, nh).reshape(b, t, h, w, nh, d)
+        return out
+    return _blend_xla_vol(vol, dx, dy, dt, a, nh)

@@ -244,16 +244,20 @@ def test_windowed_blend_comps_matches_fused_with_padding():
     dt = offsets[..., 2].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
     a = weights.transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
 
+    # comps entry takes flat-lane values [B, T, H, W, nh*D]
+    flat = [v.reshape(B, T, H, W, nh * D) for v in aligned]
+    want_flat = want.reshape(B, T, H, W, nh * D)
+
     got_xla = np.asarray(
-        windowed_blend_comps(aligned, dx, dy, dt, a, use_pallas=False)
+        windowed_blend_comps(flat, dx, dy, dt, a, nh=nh, use_pallas=False)
     )
-    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_xla, want_flat, rtol=1e-5, atol=1e-5)
 
     got_pk = np.asarray(
-        windowed_blend_comps(aligned, dx, dy, dt, a, use_pallas=True,
+        windowed_blend_comps(flat, dx, dy, dt, a, nh=nh, use_pallas=True,
                              interpret=True)
     )
-    np.testing.assert_allclose(got_pk, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pk, want_flat, rtol=1e-5, atol=1e-5)
 
 
 def test_flat_lane_softmax_matches_reference():
