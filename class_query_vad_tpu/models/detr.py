@@ -107,6 +107,7 @@ class DETR(nn.Module):
             encoder_type=s.encoder_type,
             fast_radius=s.fast_radius,
             fast_dtype=s.fast_dtype,
+            fast_window=s.fast_window,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
             name="transformer",

@@ -28,7 +28,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.deform_attn import directional_offset_init_l3hp
+from ..ops.deform_attn import (
+    directional_offset_init_l2hp,
+    directional_offset_init_l3hp,
+)
 from ..ops.fast_deform import align_all_levels, align_level
 from ..ops.fast_deform_pallas import windowed_blend_comps
 
@@ -46,6 +49,7 @@ class FastDeformAttn3D(nn.Module):
     n_heads: int = 8
     n_points: int = 8
     radius: int = 1
+    window: str = "3d"       # "3d" = (x, y, t) taps; "2d" = (x, y) only
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
 
@@ -59,6 +63,11 @@ class FastDeformAttn3D(nn.Module):
         nh, nl, np_, r = self.n_heads, self.n_levels, self.n_points, self.radius
         head_dim = self.d_model // nh
         kp = nh * np_
+        # "2d" drops the temporal taps: 9 shifts instead of 27 and the
+        # value volume is read once per level instead of 3x — ~2.5x faster
+        # blend at AVA shapes.  Temporal mixing still happens in the
+        # backbone (joint space-time attention / 3D convs); see PERF.md.
+        nc = 3 if self.window == "3d" else 2
 
         value_proj = nn.Dense(self.d_model, dtype=self.dtype, name="value_proj")
         # lane layouts are (level, component, head, point) for offsets and
@@ -69,14 +78,16 @@ class FastDeformAttn3D(nn.Module):
         # declared separately (clean init semantics) but applied as ONE
         # fused matmul — offsets in lanes [0, nl*3*kp), weight logits in
         # [nl*3*kp, nl*4*kp).
+        off_init = (directional_offset_init_l3hp if nc == 3
+                    else directional_offset_init_l2hp)
         off_kernel = self.param(
             "sampling_offsets_kernel", nn.initializers.zeros,
-            (self.d_model, nl * 3 * kp),
+            (self.d_model, nl * nc * kp),
         )
         off_bias = self.param(
             "sampling_offsets_bias",
-            lambda *_: directional_offset_init_l3hp(nh, nl, np_),
-            (nl * 3 * kp,),
+            lambda *_: off_init(nh, nl, np_),
+            (nl * nc * kp,),
         )
         w_kernel = self.param(
             "attention_weights_kernel", nn.initializers.zeros,
@@ -130,9 +141,9 @@ class FastDeformAttn3D(nn.Module):
         for i, (s, p) in enumerate(zip(src_levels, pos_levels)):
             q = s + p
             b, t, h, w, _ = q.shape
-            fused = q @ head_kernel + head_bias       # [.., L*4*kp]
-            raw = r * jnp.tanh(fused[..., : nl * 3 * kp])
-            logits = fused[..., nl * 3 * kp :].astype(jnp.float32)
+            fused = q @ head_kernel + head_bias       # [.., L*(nc+1)*kp]
+            raw = r * jnp.tanh(fused[..., : nl * nc * kp])
+            logits = fused[..., nl * nc * kp :].astype(jnp.float32)
             z = logits - jax.lax.stop_gradient(
                 jnp.max(logits, axis=-1, keepdims=True)
             )
@@ -142,14 +153,14 @@ class FastDeformAttn3D(nn.Module):
             ).astype(self.dtype)
 
             dx = jnp.stack(
-                [raw[..., (3 * j + 0) * kp : (3 * j + 1) * kp]
+                [raw[..., (nc * j + 0) * kp : (nc * j + 1) * kp]
                  for j in range(nl)], axis=1)
             dy = jnp.stack(
-                [raw[..., (3 * j + 1) * kp : (3 * j + 2) * kp]
+                [raw[..., (nc * j + 1) * kp : (nc * j + 2) * kp]
                  for j in range(nl)], axis=1)
-            dt = jnp.stack(
-                [raw[..., (3 * j + 2) * kp : (3 * j + 3) * kp]
-                 for j in range(nl)], axis=1)
+            dt = (jnp.stack(
+                [raw[..., (nc * j + 2) * kp : (nc * j + 3) * kp]
+                 for j in range(nl)], axis=1) if nc == 3 else None)
             a = jnp.stack(
                 [a_flat[..., j * kp : (j + 1) * kp] for j in range(nl)],
                 axis=1)
@@ -164,9 +175,13 @@ class FastDeformAttn3D(nn.Module):
                     precise=jnp.dtype(self.dtype) == jnp.float32,
                 ).astype(self.dtype)
             else:
-                # general-radius XLA path (kernel is radius-1 only)
+                # general-radius XLA path (kernel is radius-1 only); a 2d
+                # window is expressed as dt = 0 (all temporal mass on the
+                # centre tap)
                 from ..ops.fast_deform import windowed_blend_fused
 
+                if dt is None:
+                    dt = jnp.zeros_like(dx)
                 offsets = jnp.stack([dx, dy, dt], axis=-1).reshape(
                     b, nl, t, h, w, nh, np_, 3
                 ).transpose(0, 2, 3, 4, 5, 1, 6, 7)
@@ -191,6 +206,7 @@ class FastEncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 8
     radius: int = 1
+    window: str = "3d"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
@@ -201,7 +217,8 @@ class FastEncoderLayer(nn.Module):
     ):
         attn_outs = FastDeformAttn3D(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.radius, self.dtype, self.use_pallas, name="self_attn",
+            self.radius, self.window, self.dtype, self.use_pallas,
+            name="self_attn",
         )(src_levels, pos_levels, mask_levels)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
@@ -229,6 +246,7 @@ class FastDeformableEncoder(nn.Module):
     n_heads: int = 8
     n_points: int = 8
     radius: int = 1
+    window: str = "3d"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
@@ -249,7 +267,7 @@ class FastDeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             out = layer_cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
-                self.n_points, self.radius, self.dropout, self.dtype,
-                self.use_pallas, name=f"layers_{i}",
+                self.n_points, self.radius, self.window, self.dropout,
+                self.dtype, self.use_pallas, name=f"layers_{i}",
             )(out, pos_levels, mask_levels, deterministic)
         return out

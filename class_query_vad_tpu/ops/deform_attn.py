@@ -313,3 +313,14 @@ def directional_offset_init_l3hp(
     g = directional_offset_init(n_heads, n_levels, n_points)
     g = g.reshape(n_heads, n_levels, n_points, 3)
     return g.transpose(1, 3, 0, 2).reshape(-1)
+
+
+def directional_offset_init_l2hp(
+    n_heads: int, n_levels: int, n_points: int
+) -> jnp.ndarray:
+    """Spatial-only variant of directional_offset_init_l3hp: the (x, y)
+    circle components in (level, component, head, point) lane order, for
+    the fast encoder's 2D window (``FAST_WINDOW: 2d``)."""
+    g = directional_offset_init(n_heads, n_levels, n_points)
+    g = g.reshape(n_heads, n_levels, n_points, 3)[..., :2]
+    return g.transpose(1, 3, 0, 2).reshape(-1)

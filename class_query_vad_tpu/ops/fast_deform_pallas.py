@@ -182,6 +182,133 @@ def _blend_pallas_b1_v2(vp, dx, dy, dt, a, *, precise=False, interpret=False):
     )(sel, dx, dy, dt, a, *([vp] * 3))
 
 
+def _blend_kernel_v2_2d(s_ref, dx_ref, dy_ref, a_ref, vp_ref, out_ref,
+                        *, precise: bool):
+    """Spatial-only (x, y) window: 9 shifts, values read ONCE (no t-halo).
+    Same single-copy plane layout as _blend_kernel_v2."""
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    c = out_ref.shape[-1]
+    dx = dx_ref[0, 0].astype(jnp.float32)     # [H, W, nh*P]
+    dy = dy_ref[0, 0].astype(jnp.float32)
+    a = a_ref[0, 0].astype(jnp.float32)
+    sel = s_ref[...]
+
+    hx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (k - 1))) for k in range(3)]
+    hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - (k - 1))) for k in range(3)]
+
+    acc = out_ref[0]                           # [H, W, C] fp32
+    vplane = vp_ref[0, 0]                      # [H+2, W+2, C]
+    for ih in range(3):
+        vh = vplane[ih : ih + h]               # [H, W+2, C]
+        ay = a * hy[ih]
+        for ix in range(3):
+            hat = (ay * hx[ix]).reshape(h * w, kp)
+            m = jax.lax.dot(
+                hat, sel, preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(h, w, c)
+            acc = acc + m * vh[:, ix : ix + w, :].astype(jnp.float32)
+    out_ref[0] = acc
+
+
+def _v2d_vmem_mb(h: int, w: int, c: int, kp: int) -> float:
+    """Double-buffered VMEM working set of the 2D kernel in MB."""
+    vp = (h + 2) * (w + 2) * c * 2
+    comps = 3 * h * w * kp * 2
+    out = h * w * c * 4
+    return (2 * (vp + comps) + 2 * out) / 2 ** 20
+
+
+def _blend_pallas_b1_v2_2d(vp, dx, dy, a, *, precise=False, interpret=False):
+    """vp [J, T, H+2, W+2, C] (h/w zero-padded); dx/dy/a [J, T, H, W, nh*P]
+    -> out [T, H, W, C] float32."""
+    jl, t, hp, wp, c = vp.shape
+    h, w = hp - 2, wp - 2
+    kp = dx.shape[-1]
+    grid = (t, jl)
+
+    vp_spec = pl.BlockSpec((1, 1, hp, wp, c), lambda ti, j: (j, ti, 0, 0, 0))
+    comp_spec = pl.BlockSpec((1, 1, h, w, kp), lambda ti, j: (j, ti, 0, 0, 0))
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+
+    return pl.pallas_call(
+        functools.partial(_blend_kernel_v2_2d, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti, j: (0, 0)),
+            comp_spec, comp_spec, comp_spec,
+            vp_spec,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda ti, j: (ti, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, h, w, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sel, dx, dy, a, vp)
+
+
+def _blend_xla_vol_2d(vol, dx, dy, a, nh: int = 8):
+    """XLA oracle for the spatial-only window on the unpadded stacked
+    volume [B, J, T, H, W, C]; comps [B, J, T, H, W, nh*P]."""
+    b, jl, t, h, w, c = vol.shape
+    d = c // nh
+    vp_pad = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    out = jnp.zeros((b, t, h, w, nh, d), jnp.float32)
+    for j in range(jl):
+        vj = vp_pad[:, j].reshape(b, t, h + 2, w + 2, nh, d).astype(jnp.float32)
+        dxj = dx[:, j].astype(jnp.float32)
+        dyj = dy[:, j].astype(jnp.float32)
+        aj = a[:, j].astype(jnp.float32)
+        for sy in range(3):
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(dyj - (sy - 1)))
+            ay = aj * hy
+            for sx in range(3):
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(dxj - (sx - 1)))
+                m = (ay * hx).reshape(b, t, h, w, nh, -1).sum(-1)
+                out = out + m[..., None] * vj[
+                    :, :, sy : sy + h, sx : sx + w
+                ]
+    return out.reshape(b, t, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _blend2d(vol, dx, dy, a, precise=False, interpret=False):
+    """vol [B, J, T, H, W, C] (unpadded) -> out [B, T, H, W, C] fp32.
+    Spatial-only window; backward runs the XLA oracle's VJP (the forward
+    kernel is inference-critical, training grads take the dense path)."""
+    b, jl, t, h, w, c = vol.shape
+    kp = dx.shape[-1]
+    if _v2d_vmem_mb(h, w, c, kp) <= 96.0:
+        vp = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+        return jax.vmap(
+            functools.partial(_blend_pallas_b1_v2_2d, precise=precise,
+                              interpret=interpret)
+        )(vp, dx, dy, a)
+    return _blend_xla_vol_2d(vol, dx, dy, a)
+
+
+def _blend2d_fwd(vol, dx, dy, a, precise, interpret):
+    return _blend2d(vol, dx, dy, a, precise, interpret), (vol, dx, dy, a)
+
+
+def _blend2d_bwd(precise, interpret, res, g):
+    vol, dx, dy, a = res
+    _, vjp = jax.vjp(_blend_xla_vol_2d, vol, dx, dy, a)
+    return vjp(g.astype(jnp.float32))
+
+
+_blend2d.defvjp(_blend2d_fwd, _blend2d_bwd)
+
+
 def _pick_ht(t: int, h: int, w: int, c: int, budget_mb: float = 24.0) -> int:
     """Largest divisor of h whose VMEM working set fits the budget."""
     for ht_ in (h, h // 2, h // 4, h // 8, 8):
@@ -611,17 +738,26 @@ def windowed_blend_comps(
     Query grids whose H/W are not multiples of 8 are zero-padded up to the
     next multiple (padded queries carry zero weights and are sliced away),
     so every level can take the kernel.  Returns [B, T, H, W, C] fp32.
+
+    ``dt=None`` selects the spatial-only (x, y) window: 9 shifts instead
+    of 27 and the value volume is read once instead of 3x.
     """
     b, t, h, w, c = aligned[0].shape
     vol = jnp.stack(list(aligned), axis=1)
     if use_pallas and c % 256 == 0:
         ph, pw = (-h) % 8, (-w) % 8
+        comps = (dx, dy, a) if dt is None else (dx, dy, dt, a)
         if ph or pw:
             grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
             vol = jnp.pad(vol, grid_pad)
-            dx, dy, dt, a = (jnp.pad(x, grid_pad) for x in (dx, dy, dt, a))
-        out = _blend(vol, dx, dy, dt, a, precise, interpret)
+            comps = tuple(jnp.pad(x, grid_pad) for x in comps)
+        if dt is None:
+            out = _blend2d(vol, *comps, precise, interpret)
+        else:
+            out = _blend(vol, *comps, precise, interpret)
         if ph or pw:
             out = out[:, :, :h, :w]
         return out
+    if dt is None:
+        return _blend_xla_vol_2d(vol, dx, dy, a, nh)
     return _blend_xla_vol(vol, dx, dy, dt, a, nh)

@@ -311,3 +311,94 @@ def test_blend_kernel_vjp_matches_xla_oracle():
             np.asarray(gk), np.asarray(gx), rtol=1e-4, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_windowed_blend_comps_2d_matches_fused_dt0():
+    """The spatial-only window (dt=None) must equal the 3D fused blend with
+    all temporal offsets at 0, on XLA, pallas-interpret, and its VJP."""
+    from class_query_vad_tpu.ops.fast_deform import windowed_blend_fused
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        _blend2d,
+        _blend_xla_vol_2d,
+        windowed_blend_comps,
+    )
+
+    rng = np.random.default_rng(11)
+    B, T, H, W, nh, D, L, P = 1, 2, 8, 10, 8, 32, 2, 4
+    aligned = [
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, D)), jnp.float32)
+        for _ in range(L)
+    ]
+    off_xy = jnp.asarray(
+        rng.uniform(-0.95, 0.95, (B, T, H, W, nh, L, P, 2)), jnp.float32
+    )
+    offsets = jnp.concatenate(
+        [off_xy, jnp.zeros((B, T, H, W, nh, L, P, 1))], axis=-1
+    )
+    weights = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(B, T, H, W, nh, L * P)), jnp.float32)
+    ).reshape(B, T, H, W, nh, L, P)
+    want = np.asarray(
+        windowed_blend_fused(aligned, offsets, weights, 1)
+    ).reshape(B, T, H, W, nh * D)
+
+    flat = [v.reshape(B, T, H, W, nh * D) for v in aligned]
+    dx = off_xy[..., 0].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+    dy = off_xy[..., 1].transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+    a = weights.transpose(0, 5, 1, 2, 3, 4, 6).reshape(B, L, T, H, W, -1)
+
+    got_xla = np.asarray(
+        windowed_blend_comps(flat, dx, dy, None, a, nh=nh, use_pallas=False)
+    )
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-5)
+
+    got_pk = np.asarray(
+        windowed_blend_comps(flat, dx, dy, None, a, nh=nh, use_pallas=True,
+                             interpret=True)
+    )
+    np.testing.assert_allclose(got_pk, want, rtol=1e-5, atol=1e-5)
+
+    # VJP of the kernel entry vs direct grad of the XLA oracle
+    vol = jnp.stack(flat, axis=1)
+    ph, pw = 0, (-W) % 8
+    volp = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)])
+    comps = [jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)])
+             for x in (dx, dy, a)]
+
+    def f_k(v, dx_, dy_, a_):
+        return _blend2d(v, dx_, dy_, a_, False, True).sum()
+
+    def f_x(v, dx_, dy_, a_):
+        return _blend_xla_vol_2d(v, dx_, dy_, a_, nh).sum()
+
+    gk = jax.grad(f_k, argnums=(0, 1, 2, 3))(volp, *comps)
+    gx = jax.grad(f_x, argnums=(0, 1, 2, 3))(volp, *comps)
+    for a_, b_ in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fast_encoder_2d_window_forward_and_grad():
+    """FastDeformableEncoder with window='2d' builds, runs, and its params
+    carry 2-component offset lanes."""
+    from class_query_vad_tpu.models.fast_encoder import FastDeformableEncoder
+
+    rng = np.random.default_rng(12)
+    levels = [(2, 8, 8), (2, 4, 4)]
+    srcs = [jnp.asarray(rng.normal(size=(1, t, h, w, 256)), jnp.float32)
+            for t, h, w in levels]
+    poses = [jnp.asarray(rng.normal(size=(1, t, h, w, 256)), jnp.float32)
+             for t, h, w in levels]
+    enc = FastDeformableEncoder(
+        num_layers=1, n_levels=2, n_points=4, window="2d", use_pallas=False)
+    params = enc.init(jax.random.PRNGKey(0), srcs, poses, None)
+    off_k = params["params"]["layers_0"]["self_attn"][
+        "sampling_offsets_kernel"]
+    assert off_k.shape == (256, 2 * 2 * 8 * 4)          # L * 2 comps * nh*P
+    outs = enc.apply(params, srcs, poses, None)
+    assert [o.shape for o in outs] == [s.shape for s in srcs]
+    g = jax.grad(
+        lambda p: sum(jnp.sum(o) for o in enc.apply(p, srcs, poses, None))
+    )(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
