@@ -61,8 +61,18 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
 
+        # Manual max-subtracted softmax keeping the score tensor in the
+        # compute dtype (exp and the denominator accumulate in fp32).  In
+        # fp32 mode this IS jax.nn.softmax; in bf16 mode it avoids
+        # materializing the [H, N, N] scores a second time in fp32 —
+        # measured 1.24 -> 1.02 ms/block on v5e at [1, 12, 2560, 64]
+        # (a pallas flash kernel is faster per-op but its layout
+        # transposes make it end-to-end neutral; see PERF.md).
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        mx = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
+        e = jnp.exp((attn - mx).astype(jnp.float32)).astype(self.dtype)
+        s = e.astype(jnp.float32).sum(axis=-1, keepdims=True)
+        attn = e / s.astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
