@@ -33,6 +33,26 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     )
 
 
+def sync_hosts(name: str = "sync"):
+    """Cross-host barrier (reference: dist.barrier() at
+    utils/video_action_recognition.py:244,277); no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(tree):
+    """Gather a host-local pytree from every process (in-memory alternative
+    to the reference's per-rank txt exchange, utils/misc.py:90-130);
+    identity for single-process runs."""
+    if jax.process_count() <= 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)
+
+
 def create_mesh(cfg=None, devices=None, batch_size: Optional[int] = None) -> Mesh:
     """Mesh from CONFIG.TPU.MESH_SHAPE/MESH_AXES (-1 = all remaining).
 
