@@ -280,11 +280,179 @@ def _blend_xla_vol_2d(vol, dx, dy, a, nh: int = 8):
     return out.reshape(b, t, h, w, c)
 
 
+def _bwd2d_dcomps_kernel(r_ref, e_ref, g_ref, dx_ref, dy_ref, a_ref, vp_ref,
+                         da_ref, ddx_ref, ddy_ref, *, precise: bool):
+    """2D gradients wrt (dx, dy, a).  g and comps centred, values as the
+    forward's single padded plane.  r = per-head <G, vp_s> reduces C -> nh;
+    e expands nh -> nh*P."""
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    g = g_ref[0].astype(jnp.float32)                  # [H, W, C]
+    dx = dx_ref[0, 0].astype(jnp.float32)
+    dy = dy_ref[0, 0].astype(jnp.float32)
+    a = a_ref[0, 0].astype(jnp.float32)
+    rmat = r_ref[...]
+    emat = e_ref[...]
+
+    def hat(u):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+    def dhat(u):
+        # XLA subgradient conventions: abs'(0) = +1, max splits |u|==1 ties
+        au = jnp.abs(u)
+        inner = jnp.where(u >= 0.0, -1.0, 1.0)
+        return jnp.where(
+            au < 1.0, inner, jnp.where(au == 1.0, 0.5 * inner, 0.0)
+        )
+
+    hx = [hat(dx - (k - 1)) for k in range(3)]
+    hy = [hat(dy - (k - 1)) for k in range(3)]
+    dhx = [dhat(dx - (k - 1)) for k in range(3)]
+    dhy = [dhat(dy - (k - 1)) for k in range(3)]
+
+    da = jnp.zeros((h, w, kp), jnp.float32)
+    ddx = jnp.zeros((h, w, kp), jnp.float32)
+    ddy = jnp.zeros((h, w, kp), jnp.float32)
+    vplane = vp_ref[0, 0]                              # [H+2, W+2, C]
+    for ih in range(3):
+        vh = vplane[ih : ih + h]
+        for ix in range(3):
+            gv = g * vh[:, ix : ix + w, :].astype(jnp.float32)
+            r = jax.lax.dot(
+                gv.reshape(h * w, -1), rmat,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            rk = jax.lax.dot(
+                r, emat, preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(h, w, kp)
+            da = da + rk * (hx[ix] * hy[ih])
+            ddx = ddx + rk * (a * hy[ih]) * dhx[ix]
+            ddy = ddy + rk * (a * hx[ix]) * dhy[ih]
+    da_ref[0, 0] = da.astype(da_ref.dtype)
+    ddx_ref[0, 0] = ddx.astype(ddx_ref.dtype)
+    ddy_ref[0, 0] = ddy.astype(ddy_ref.dtype)
+
+
+def _bwd2d_dvol_kernel(s_ref, gp_ref, dxp_ref, dyp_ref, ap_ref, out_ref,
+                       *, precise: bool):
+    """2D gradient wrt the value volume — reversed stencil: cotangent G and
+    comps arrive as padded planes, dvol is centred.
+    dvol[q] = sum_d m(q + d, s = -d) * G(q + d)."""
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    h, w = out_ref.shape[2], out_ref.shape[3]
+    kp = dxp_ref.shape[-1]
+    c = out_ref.shape[-1]
+    sel = s_ref[...]
+
+    gp = gp_ref[0]                                     # [H+2, W+2, C]
+    dxp = dxp_ref[0, 0].astype(jnp.float32)            # [H+2, W+2, kp]
+    dyp = dyp_ref[0, 0].astype(jnp.float32)
+    ap = ap_ref[0, 0].astype(jnp.float32)
+
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    for ih in range(3):
+        sy = 1 - ih
+        gs = gp[ih : ih + h]                           # [H, W+2, C]
+        dys = dyp[ih : ih + h]
+        dxs = dxp[ih : ih + h]
+        aps = ap[ih : ih + h]
+        hy = aps * jnp.maximum(0.0, 1.0 - jnp.abs(dys - sy))
+        for ix in range(3):
+            sx = 1 - ix
+            hat = hy[:, ix : ix + w, :] * jnp.maximum(
+                0.0, 1.0 - jnp.abs(dxs[:, ix : ix + w, :] - sx)
+            )
+            m = jax.lax.dot(
+                hat.reshape(h * w, kp), sel,
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(h, w, c)
+            acc = acc + m * gs[:, ix : ix + w, :].astype(jnp.float32)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _bwd2d_b1(gp, vp, dxp, dyp, ap, dxc, dyc, ac, g_center,
+              vol_dtype, comp_dtype, *, precise=False, interpret=False):
+    """Single-batch 2D backward: returns (dvol, ddx, ddy, da).
+
+    gp    [T, H+2, W+2, C]     padded cotangent
+    vp    [J, T, H+2, W+2, C]  padded values (forward's input)
+    d*p/ap [J, T, H+2, W+2, kp] padded comps
+    d*c/ac [J, T, H, W, kp]     centred comps
+    g_center [T, H, W, C]       centred cotangent
+    """
+    jl, t, hp, wp, c = vp.shape
+    h, w = hp - 2, wp - 2
+    kp = dxc.shape[-1]
+    grid = (t, jl)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 2 ** 20,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+    d_ = c // 8
+    rmat = jnp.zeros((c, 8), jnp.float32).at[
+        jnp.arange(c), jnp.arange(c) // d_].set(1.0)
+    emat = jnp.zeros((8, kp), jnp.float32).at[
+        jnp.arange(kp) // (kp // 8), jnp.arange(kp)].set(1.0)
+
+    gp_spec = pl.BlockSpec((1, hp, wp, c), lambda ti, j: (ti, 0, 0, 0))
+    padded_j = lambda lanes: pl.BlockSpec(
+        (1, 1, hp, wp, lanes), lambda ti, j: (j, ti, 0, 0, 0)
+    )
+    comp_c_spec = pl.BlockSpec(
+        (1, 1, h, w, kp), lambda ti, j: (j, ti, 0, 0, 0)
+    )
+    gc_spec = pl.BlockSpec((1, h, w, c), lambda ti, j: (ti, 0, 0, 0))
+    out_j = lambda lanes: pl.BlockSpec(
+        (1, 1, h, w, lanes), lambda ti, j: (j, ti, 0, 0, 0)
+    )
+
+    dvol = pl.pallas_call(
+        functools.partial(_bwd2d_dvol_kernel, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti, j: (0, 0)),
+            gp_spec, padded_j(kp), padded_j(kp), padded_j(kp),
+        ],
+        out_specs=out_j(c),
+        out_shape=jax.ShapeDtypeStruct((jl, t, h, w, c), vol_dtype),
+        compiler_params=params,
+        interpret=interpret,
+    )(sel, gp, dxp, dyp, ap)
+
+    da, ddx, ddy = pl.pallas_call(
+        functools.partial(_bwd2d_dcomps_kernel, precise=precise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, 8), lambda ti, j: (0, 0)),
+            pl.BlockSpec((8, kp), lambda ti, j: (0, 0)),
+            gc_spec,
+            comp_c_spec, comp_c_spec, comp_c_spec,
+            padded_j(c),
+        ],
+        out_specs=[out_j(kp)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((jl, t, h, w, kp), comp_dtype)
+        ] * 3,
+        compiler_params=params,
+        interpret=interpret,
+    )(rmat, emat, g_center, dxc, dyc, ac, vp)
+    return dvol, ddx, ddy, da
+
+
+def _pad_hw1(x):
+    pads = [(0, 0)] * x.ndim
+    pads[-3] = (1, 1)
+    pads[-2] = (1, 1)
+    return jnp.pad(x, pads)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _blend2d(vol, dx, dy, a, precise=False, interpret=False):
     """vol [B, J, T, H, W, C] (unpadded) -> out [B, T, H, W, C] fp32.
-    Spatial-only window; backward runs the XLA oracle's VJP (the forward
-    kernel is inference-critical, training grads take the dense path)."""
+    Spatial-only window; forward AND backward run Pallas kernels (the
+    XLA-oracle path is the fallback when the plane exceeds VMEM)."""
     b, jl, t, h, w, c = vol.shape
     kp = dx.shape[-1]
     if _v2d_vmem_mb(h, w, c, kp) <= 96.0:
@@ -302,8 +470,18 @@ def _blend2d_fwd(vol, dx, dy, a, precise, interpret):
 
 def _blend2d_bwd(precise, interpret, res, g):
     vol, dx, dy, a = res
-    _, vjp = jax.vjp(_blend_xla_vol_2d, vol, dx, dy, a)
-    return vjp(g.astype(jnp.float32))
+    b, jl, t, h, w, c = vol.shape
+    kp = dx.shape[-1]
+    if _v2d_vmem_mb(h, w, c, kp) > 96.0:
+        _, vjp = jax.vjp(_blend_xla_vol_2d, vol, dx, dy, a)
+        return vjp(g.astype(jnp.float32))
+    return jax.vmap(
+        functools.partial(
+            _bwd2d_b1, vol_dtype=vol.dtype, comp_dtype=dx.dtype,
+            precise=precise, interpret=interpret,
+        )
+    )(_pad_hw1(g), _pad_hw1(vol), _pad_hw1(dx), _pad_hw1(dy), _pad_hw1(a),
+      dx, dy, a, g)
 
 
 _blend2d.defvjp(_blend2d_fwd, _blend2d_bwd)
