@@ -82,6 +82,23 @@ def grid_resize_3d(x: jnp.ndarray, out_thw: tuple[int, int, int]) -> jnp.ndarray
     return grid_resize_2d(planes, (oh, ow))
 
 
+def grid_resize_3d_at_frame(
+    x: jnp.ndarray, out_thw: tuple[int, int, int], frame: int
+) -> jnp.ndarray:
+    """Exactly ``grid_resize_3d(x, out_thw)[..., frame, :, :, :]`` without
+    computing the other output frames — the single-frame ("eff") decoder
+    consumes only the centre frame of the common grid.  Returns
+    [..., 1, h, w, C] (the frame axis is kept, size 1)."""
+    *lead, T, H, W, C = x.shape
+    ot, oh, ow = out_thw
+    ts = _grid_coords(ot, T)[frame : frame + 1]
+    t0, t1, wt0, wt1 = _lerp_weights(ts, T)
+    p0 = jnp.take(x, t0, axis=-4)
+    p1 = jnp.take(x, t1, axis=-4)
+    planes = p0 * wt0[:, None, None, None] + p1 * wt1[:, None, None, None]
+    return grid_resize_2d(planes, (oh, ow))
+
+
 def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     """Keys cubic convolution kernel (torch uses a=-0.75)."""
     at = jnp.abs(t)

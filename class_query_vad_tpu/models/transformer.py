@@ -28,16 +28,21 @@ import jax.numpy as jnp
 
 from .decoder import TransformerDecoder
 from .deform_encoder import DeformableEncoder, get_valid_ratio
-from .resize import grid_resize_2d, grid_resize_3d
+from .resize import grid_resize_2d, grid_resize_3d, grid_resize_3d_at_frame
 
 
 def make_interpolated_features(
     features: List[jnp.ndarray],   # per level [B, T_l, H_l, W_l, C]
     num_frames: int,
     level: int = -2,
+    frame: int | None = None,
 ) -> List[jnp.ndarray]:
     """Resample every level onto features[level]'s spatial grid at
-    ``num_frames`` temporal extent (dab_transformer.py:239-294)."""
+    ``num_frames`` temporal extent (dab_transformer.py:239-294).
+
+    ``frame`` computes ONLY that output frame (size-1 t axis) — exactly
+    equal to slicing the full result, used by the single-frame decoder so
+    the other num_frames - 1 frames are never materialized."""
     tgt = features[level]
     b, t, h, w, c = tgt.shape
     out = []
@@ -47,11 +52,16 @@ def make_interpolated_features(
             # as the (x, y) grid components (dab_transformer.py:257-260), so
             # the sampled map comes out transposed — resample to (w, h) and
             # swap the spatial axes to reproduce it.
+            src = feat if frame is None else feat[:, frame : frame + 1]
             out.append(
-                jnp.swapaxes(grid_resize_2d(feat, (w, h)), -3, -2)
+                jnp.swapaxes(grid_resize_2d(src, (w, h)), -3, -2)
             )
-        else:
+        elif frame is None:
             out.append(grid_resize_3d(feat, (num_frames, h, w)))
+        else:
+            out.append(
+                grid_resize_3d_at_frame(feat, (num_frames, h, w), frame)
+            )
     return out
 
 
@@ -198,15 +208,28 @@ class DABTransformer(nn.Module):
     def _common_grid_decode(self, mem_levels, pos_levels, masks,
                             spatial_shapes, refpoint_embed, deterministic):
         if self.num_feature_levels > 1:
-            mem_levels = make_interpolated_features(mem_levels, self.temp_len)
             ref_lvl = len(spatial_shapes) - 2
             t_l = spatial_shapes[ref_lvl][0]
-            pos_common = jnp.tile(
-                pos_levels[ref_lvl], (1, self.temp_len // t_l, 1, 1, 1)
-            )
-            mask_common = jnp.tile(
-                masks[ref_lvl], (1, self.temp_len // t_l, 1, 1)
-            )
+            if self.single_frame:
+                # compute ONLY the centre frame the decoder consumes
+                # (identical to interpolate-then-slice; _decode's centre
+                # slice of a size-1 t axis is the identity)
+                f = self.temp_len // 2
+                mem_levels = make_interpolated_features(
+                    mem_levels, self.temp_len, frame=f
+                )
+                pos_common = pos_levels[ref_lvl][:, f % t_l : f % t_l + 1]
+                mask_common = masks[ref_lvl][:, f % t_l : f % t_l + 1]
+            else:
+                mem_levels = make_interpolated_features(
+                    mem_levels, self.temp_len
+                )
+                pos_common = jnp.tile(
+                    pos_levels[ref_lvl], (1, self.temp_len // t_l, 1, 1, 1)
+                )
+                mask_common = jnp.tile(
+                    masks[ref_lvl], (1, self.temp_len // t_l, 1, 1)
+                )
         else:
             ref_lvl = 0
             pos_common = pos_levels[0]
