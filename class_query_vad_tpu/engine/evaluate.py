@@ -134,6 +134,7 @@ def run_validation(
 
     t_start = _time.time()
     n_batches = 0
+    loss_sums: Dict[str, float] = {}
     for batch, meta in loader:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         out = forward_fn(params, jb["pixels"], jb["mask"])
@@ -145,6 +146,9 @@ def run_validation(
                 raise FloatingPointError(
                     f"Loss is {total}, stopping eval: {losses}"
                 )
+            for k, v in losses.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            loss_sums["total_loss"] = loss_sums.get("total_loss", 0.0) + total
         n_batches += 1
         sizes = jnp.asarray(
             np.stack([np.asarray(m["size"], np.float32) for m in meta])
@@ -162,6 +166,16 @@ def run_validation(
     if rank != 0:
         return None
 
+    eval_losses = (
+        {k: v / max(n_batches, 1) for k, v in loss_sums.items()}
+        if loss_sums else None
+    )
+
+    def _with_losses(result):
+        if eval_losses is not None:
+            result["eval_losses"] = eval_losses
+        return result
+
     det_files = [os.path.join(res_dir, f"{r}.txt") for r in range(world_size)]
     gt_files = [os.path.join(res_dir, f"GT_{r}.txt") for r in range(world_size)]
 
@@ -174,7 +188,7 @@ def run_validation(
         ev.load_GT_from_path(gt_files)
         ev.load_detection_from_path(det_files)
         mAP, metrics = ev.evaluate()
-        return {"mAP": mAP[0], "metrics": metrics}
+        return _with_losses({"mAP": mAP[0], "metrics": metrics})
     elif name == "ucf":
         from ..evaluates import STDetectionEvaluaterUCF
 
@@ -192,5 +206,5 @@ def run_validation(
     ev.load_GT_from_path(gt_files)
     ev.load_detection_from_path(det_files)
     mAP, metrics, v_mAP, v_metrics = ev.evaluate()
-    return {"mAP": mAP[0], "v_mAP": v_mAP[0], "metrics": metrics,
-            "v_metrics": v_metrics}
+    return _with_losses({"mAP": mAP[0], "v_mAP": v_mAP[0], "metrics": metrics,
+                         "v_metrics": v_metrics})

@@ -76,8 +76,8 @@ class FastDeformAttn3D(nn.Module):
         # any lane-padded transposes (see ops/fast_deform_pallas.py).
         # The offset and weight heads both consume q, so their kernels are
         # declared separately (clean init semantics) but applied as ONE
-        # fused matmul — offsets in lanes [0, nl*3*kp), weight logits in
-        # [nl*3*kp, nl*4*kp).
+        # fused matmul — offsets in lanes [0, nl*nc*kp), weight logits in
+        # [nl*nc*kp, nl*(nc+1)*kp).
         off_init = (directional_offset_init_l3hp if nc == 3
                     else directional_offset_init_l2hp)
         off_kernel = self.param(

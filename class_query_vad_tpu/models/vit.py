@@ -58,6 +58,7 @@ class ViTAttention(nn.Module):
         qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype))
         if bias is not None:
             qkv = qkv + bias.astype(self.dtype)
+
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
 

@@ -137,10 +137,11 @@ def _blend_kernel_v2(s_ref, dx_ref, dy_ref, dt_ref, a_ref, vp0, vp1, vp2,
     out_ref[0] = acc
 
 
-def _v2_vmem_mb(t: int, h: int, w: int, c: int, kp: int) -> float:
+def _v2_vmem_mb(t: int, h: int, w: int, c: int, kp: int,
+                vol_bytes: int = 2, comp_bytes: int = 2) -> float:
     """Double-buffered VMEM working set of the v2 kernel in MB."""
-    vp = 3 * (h + 2) * (w + 2) * c * 2          # three t-row planes, bf16
-    comps = 4 * h * w * kp * 2
+    vp = 3 * (h + 2) * (w + 2) * c * vol_bytes   # three t-row planes
+    comps = 4 * h * w * kp * comp_bytes
     out = h * w * c * 4
     return (2 * (vp + comps) + 2 * out) / 2 ** 20
 
@@ -218,10 +219,11 @@ def _blend_kernel_v2_2d(s_ref, dx_ref, dy_ref, a_ref, vp_ref, out_ref,
     out_ref[0] = acc
 
 
-def _v2d_vmem_mb(h: int, w: int, c: int, kp: int) -> float:
+def _v2d_vmem_mb(h: int, w: int, c: int, kp: int,
+                 vol_bytes: int = 2, comp_bytes: int = 2) -> float:
     """Double-buffered VMEM working set of the 2D kernel in MB."""
-    vp = (h + 2) * (w + 2) * c * 2
-    comps = 3 * h * w * kp * 2
+    vp = (h + 2) * (w + 2) * c * vol_bytes
+    comps = 3 * h * w * kp * comp_bytes
     out = h * w * c * 4
     return (2 * (vp + comps) + 2 * out) / 2 ** 20
 
@@ -455,7 +457,8 @@ def _blend2d(vol, dx, dy, a, precise=False, interpret=False):
     XLA-oracle path is the fallback when the plane exceeds VMEM)."""
     b, jl, t, h, w, c = vol.shape
     kp = dx.shape[-1]
-    if _v2d_vmem_mb(h, w, c, kp) <= 96.0:
+    if _v2d_vmem_mb(h, w, c, kp, vol.dtype.itemsize,
+                    dx.dtype.itemsize) <= 96.0:
         vp = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
         return jax.vmap(
             functools.partial(_blend_pallas_b1_v2_2d, precise=precise,
@@ -472,7 +475,8 @@ def _blend2d_bwd(precise, interpret, res, g):
     vol, dx, dy, a = res
     b, jl, t, h, w, c = vol.shape
     kp = dx.shape[-1]
-    if _v2d_vmem_mb(h, w, c, kp) > 96.0:
+    if _v2d_vmem_mb(h, w, c, kp, vol.dtype.itemsize,
+                    dx.dtype.itemsize) > 96.0:
         _, vjp = jax.vjp(_blend_xla_vol_2d, vol, dx, dy, a)
         return vjp(g.astype(jnp.float32))
     return jax.vmap(
@@ -822,7 +826,8 @@ def _blend(vol, dx, dy, dt, a, precise=False, interpret=False):
     """vol [B, J, T, H, W, C] (unpadded) -> out [B, T, H, W, C] fp32."""
     b, jl, t, h, w, c = vol.shape
     kp = dx.shape[-1]
-    if _v2_vmem_mb(t, h, w, c, kp) <= 96.0:
+    if _v2_vmem_mb(t, h, w, c, kp, vol.dtype.itemsize,
+                   dx.dtype.itemsize) <= 96.0:
         vp = jnp.pad(
             vol, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)]
         )                                        # [B, J, T+2, H+2, W+2, C]
@@ -922,7 +927,9 @@ def windowed_blend_comps(
     """
     b, t, h, w, c = aligned[0].shape
     vol = jnp.stack(list(aligned), axis=1)
-    if use_pallas and c % 256 == 0:
+    # The Pallas paths (_selector, the 2d backward's rmat/emat) group
+    # weights-to-channels assuming 8 heads; other head counts take XLA.
+    if use_pallas and nh == 8 and c % 256 == 0:
         ph, pw = (-h) % 8, (-w) % 8
         comps = (dx, dy, a) if dt is None else (dx, dy, dt, a)
         if ph or pw:

@@ -87,7 +87,7 @@ def main():
     dtype = jnp.bfloat16 if (args.amp or cfg.CONFIG.AMP) else jnp.float32
     model = build_model(cfg, dtype=dtype)
     matcher = build_matcher(cfg)
-    _, postprocess, _ = build_criterion_and_postprocessor(cfg, matcher)
+    criterion, postprocess, _ = build_criterion_and_postprocessor(cfg, matcher)
 
     rank = jax.process_index()
     world = jax.process_count()
@@ -114,12 +114,17 @@ def main():
         barrier = lambda: multihost_utils.sync_global_devices("eval_txt")
 
     t0 = time.time()
+    # criterion => eval losses are computed/logged and a non-finite total
+    # aborts (reference video_action_recognition.py:208-213)
     result = run_validation(cfg, model, params, postprocess, loader,
-                            rank=rank, world_size=world, barrier=barrier)
+                            rank=rank, world_size=world, barrier=barrier,
+                            criterion=criterion)
     if result is not None:
         line = {"mAP": result["mAP"], "time": time.time() - t0}
         if "v_mAP" in result:
             line["v_mAP"] = result["v_mAP"]
+        if "eval_losses" in result:
+            line["eval_loss"] = result["eval_losses"]["total_loss"]
         print(json.dumps(line))
 
 

@@ -111,6 +111,24 @@ def test_evaluate_cli(jhmdb_world):
     assert (res / "0.txt").exists() and (res / "GT_0.txt").exists()
 
 
+def test_dryrun_multichip_self_provisions():
+    """The driver calls dryrun_multichip from a process whose jax may
+    already be initialized (worst case: onto the axon TPU).  It must
+    self-provision the virtual CPU mesh via re-exec and exit 0."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env.pop("XLA_FLAGS", None)   # driver gives no help; must self-provision
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.devices();"   # poison: backend already initialized
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-3000:])
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_train_cli(jhmdb_world):
     tmp_path, yaml = jhmdb_world
     proc = _run([sys.executable, "train.py", "--config-file", str(yaml),

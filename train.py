@@ -35,6 +35,11 @@ def parse_args():
     parser.add_argument("--pretrained_path", default="")
     parser.add_argument("--root_data_path", type=str, default=None)
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--resume", default="",
+                        help="checkpoint dir to resume from (restores the "
+                             "full TrainState + epoch counter; the "
+                             "reference's start_epoch is hardcoded 0 — "
+                             "/root/reference/train.py:81)")
     return parser.parse_args()
 
 
@@ -69,6 +74,11 @@ def main():
     )
     from class_query_vad_tpu.models import build_model
     from class_query_vad_tpu.parallel import create_mesh, replicate, shard_batch
+    from class_query_vad_tpu.utils.logging import (
+        MetricsLogger,
+        build_log_dir,
+        print_log,
+    )
     from class_query_vad_tpu.utils.misc import param_count
 
     dtype = jnp.bfloat16 if (args.amp or cfg.CONFIG.AMP) else jnp.float32
@@ -80,6 +90,14 @@ def main():
 
     rank = jax.process_index()
     world = jax.process_count()
+    # log dir + stdout tee (reference utils/utils.py:185-192) and metric
+    # sinks (jsonl always; wandb/tensorboard per config — train.py:84-105)
+    log_path = build_log_dir(cfg) if rank == 0 else None
+    logger = MetricsLogger(
+        cfg, rank=rank,
+        use_wandb=bool(cfg.CONFIG.LOG.get("USE_WANDB", False)),
+        use_tensorboard=bool(cfg.CONFIG.LOG.get("USE_TENSORBOARD", False)),
+    )
     train_loader = build_dataloader(cfg, "train", host_id=rank,
                                     num_hosts=world,
                                     num_workers=args.num_workers)
@@ -109,42 +127,64 @@ def main():
         )
         params = jax.tree_util.tree_map(jnp.asarray, params)
         state = state.replace(params=params, opt_state=tx.init(params))
-    print("Number of parameters: %6.2fM" % (param_count(state.params) / 1e6))
+    print_log(log_path,
+              "Number of parameters: %6.2fM" % (param_count(state.params) / 1e6))
+
+    start_epoch, best_map = 0, 0.0
+    if args.resume:
+        from class_query_vad_tpu.engine.checkpoint import load_checkpoint
+
+        restored, meta = load_checkpoint(
+            args.resume, target=jax.device_get(state)
+        )
+        state = restored
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_map = float(meta.get("accuracy", 0.0))
+        print_log(log_path,
+                  f"Resumed from {args.resume}: epoch {start_epoch}, "
+                  f"best mAP {best_map:.4f}")
 
     state = replicate(mesh, state)
     train_step = jax.jit(
         make_train_step(model, criterion, weight_dict, tx), donate_argnums=(0,)
     )
 
-    best_map = 0.0
-    for epoch in range(cfg.CONFIG.TRAIN.NUM_EPOCHS):
+    for epoch in range(start_epoch, cfg.CONFIG.TRAIN.NUM_EPOCHS):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         total_loss, n_steps = 0.0, 0
-        loss_window = []
+        window = []
         for batch, _ in train_loader:
             batch = shard_batch(mesh, {
                 k: jnp.asarray(v) for k, v in batch.items()
             })
             state, metrics = train_step(state, batch)
-            # keep the loss on device: a per-step float() would serialize
+            # keep the losses on device: a per-step float() would serialize
             # dispatch against the ~24ms host-materialization RTT
-            loss_window.append(metrics["total_loss"])
+            window.append(metrics)
             n_steps += 1
             if n_steps % cfg.CONFIG.LOG.DISPLAY_FREQ == 0 and rank == 0:
-                vals = [float(v) for v in jax.device_get(loss_window)]
-                total_loss += sum(vals)
-                loss_window = []
-                print(
+                window = jax.device_get(window)
+                total_loss += sum(float(m["total_loss"]) for m in window)
+                last = {k: float(v) for k, v in window[-1].items()}
+                window = []
+                print_log(
+                    log_path,
                     f"Epoch [{epoch}] Step [{n_steps}] "
-                    f"loss: {vals[-1]:.4f} "
+                    f"loss: {last['total_loss']:.4f} "
                     f"({(time.time() - t0) / n_steps:.3f}s/step)"
                 )
-        total_loss += sum(float(v) for v in jax.device_get(loss_window))
+                # per-key train losses (reference wandb.log, train.py:170-175)
+                logger.log({"epoch": epoch, "step": n_steps,
+                            **{f"train/{k}": v for k, v in last.items()}})
+        total_loss += sum(
+            float(m["total_loss"]) for m in jax.device_get(window)
+        )
         if rank == 0:
-            print(f"Epoch {epoch}: mean loss "
-                  f"{total_loss / max(n_steps, 1):.4f} "
-                  f"in {time.time() - t0:.1f}s")
+            print_log(log_path,
+                      f"Epoch {epoch}: mean loss "
+                      f"{total_loss / max(n_steps, 1):.4f} "
+                      f"in {time.time() - t0:.1f}s")
 
         if (epoch + 1) % cfg.CONFIG.TRAIN.EVAL_FREQ == 0:
             barrier = lambda: None
@@ -157,13 +197,24 @@ def main():
             result = run_validation(
                 cfg, model, jax.device_get(state.params), postprocess,
                 val_loader, rank=rank, world_size=world, barrier=barrier,
+                criterion=criterion,
             )
             if result is not None:
-                print(json.dumps({"epoch": epoch, "mAP": result["mAP"]}))
-                if result["mAP"] >= best_map:
-                    best_map = result["mAP"]
-                    save_checkpoint(cfg, jax.device_get(state), epoch,
-                                    accuracy=best_map)
+                best_map = max(best_map, result["mAP"])
+                line = {"epoch": epoch, "mAP": result["mAP"],
+                        "best_mAP": best_map}
+                if "eval_losses" in result:
+                    line.update({f"eval/{k}": v
+                                 for k, v in result["eval_losses"].items()})
+                logger.log(line)
+            if rank == 0:
+                # save EVERY eval epoch like the reference
+                # (/root/reference/train.py:99-103), not only on best
+                path = save_checkpoint(
+                    cfg, jax.device_get(state), epoch,
+                    accuracy=result["mAP"] if result else 0.0,
+                )
+                print_log(log_path, f"Saved checkpoint {path}")
 
 
 if __name__ == "__main__":
