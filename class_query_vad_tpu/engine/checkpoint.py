@@ -160,6 +160,11 @@ def load_pretrained_params(cfg, pretrained_path: str):
         sd = load_torch_state_dict(pretrained_path)
         return convert_detr_checkpoint(sd, cfg)
     restored, _ = load_checkpoint(pretrained_path)
+    if isinstance(restored, dict) and "opt_state" in restored:
+        # a full TrainState checkpoint: its .params IS the variables dict
+        restored = restored["params"]
+    if isinstance(restored, dict) and set(restored.keys()) == {"params"}:
+        return restored
     if isinstance(restored, dict) and "params" in restored:
         return {"params": restored["params"]}
     return restored

@@ -263,6 +263,154 @@ def ms_deform_attn_3d_blocked(
     return out[:, :q]
 
 
+def _pack_corners(value: jnp.ndarray, shape: Tuple[int, int, int]):
+    """Corner-packed gather table for one level.
+
+    value [B, t*h*w, H, D] -> packed [B*H, (t+1)*(h+1)*(w+1), 8*D] where
+    row (u, v, z) holds the 8 trilinear corners of base index
+    (u-1, v-1, z-1) of the ZERO-PADDED volume — i.e. all corners a sample
+    with clipped floor indices (u, v, z) needs, concatenated along the
+    last axis in (dt, dy, dx) order.
+    """
+    t, h, w = shape
+    bsz, _, nheads, depth = value.shape
+    vol = value.transpose(0, 2, 1, 3).reshape(bsz * nheads, t, h, w, depth)
+    vol = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    parts = [
+        vol[:, dt : dt + t + 1, dy : dy + h + 1, dx : dx + w + 1]
+        for dt in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    ]
+    packed = jnp.concatenate(parts, axis=-1)       # [BH, t+1, h+1, w+1, 8D]
+    return packed.reshape(bsz * nheads, (t + 1) * (h + 1) * (w + 1),
+                          8 * depth)
+
+
+def _sample_level_packed(
+    packed: jnp.ndarray,         # [B*H, Sp, 8*D] corner-packed table
+    shape: Tuple[int, int, int],
+    loc: jnp.ndarray,            # [B, Q, H, P, 3] (x, y, t)
+    weight: jnp.ndarray,         # [B, Q, H, P]
+    nheads: int,
+    depth: int,
+) -> jnp.ndarray:
+    """Trilinear sampling via ONE row-gather per (query, head, point).
+
+    The TPU XLA gather is per-ROW bound (~190 M rows/s regardless of row
+    width up to 256+ lanes — PERF.md round 2), so fetching all 8 corners
+    as one wide row is ~8x fewer gathers than row-per-corner and ~4x
+    faster than the (2,2,2,D) blocked slice gather.  Returns [B, Q, H, D].
+    """
+    t, h, w = shape
+    b_, q, _, p, _ = loc.shape
+
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    tt = loc[..., 2] * t - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    t0 = jnp.floor(tt)
+    lx = (x - x0).astype(packed.dtype)
+    ly = (y - y0).astype(packed.dtype)
+    lt = (tt - t0).astype(packed.dtype)
+
+    in_bounds = (
+        (tt > -1.0) & (y > -1.0) & (x > -1.0) & (tt < t) & (y < h) & (x < w)
+    )
+    weight = (weight * in_bounds).astype(packed.dtype)
+
+    t0i = jnp.clip(t0.astype(jnp.int32) + 1, 0, t)
+    y0i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+    flat = (t0i * (h + 1) + y0i) * (w + 1) + x0i    # [B, Q, H, P]
+
+    flat = (t0i * (h + 1) + y0i) * (w + 1) + x0i    # [B, Q, H, P]
+
+    wt = jnp.stack([1.0 - lt, lt], axis=-1)         # [B, Q, H, P, 2]
+    wy = jnp.stack([1.0 - ly, ly], axis=-1)
+    wx = jnp.stack([1.0 - lx, lx], axis=-1)
+    cw = (
+        wt[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
+    ).reshape(b_, q, nheads, p, 8) * weight[..., None]
+
+    # One gather PER (batch, head) from that head's own packed table.  The
+    # XLA row-gather rate is table-size dependent (measured on v5e: ~230
+    # Mrows/s from a <=24 MB table vs ~78 Mrows/s from the 8-head 194 MB
+    # fold — a 2.7x win).  The (point, corner) weighted reduction is done
+    # WITHOUT ever reshaping the gathered rows to a depth-minor layout
+    # (a [.., 8, D<128] minor dim tiles to (8, 128) with most lanes wasted
+    # — the round-1 flat-lanes trap): rows stay [Q, P*8D] and the
+    # reduction is one MXU matmul against a constant block-summing matrix,
+    # with the corner weights expanded to row width by a second tiny
+    # matmul against a 0/1 block expander.
+    sp = (t + 1) * (h + 1) * (w + 1)
+    tabs = packed.reshape(b_, nheads, sp, 8 * depth)
+    pc = p * 8
+    expander = jnp.repeat(
+        jnp.eye(pc, dtype=packed.dtype), depth, axis=1
+    )                                               # [P*8, P*8D]
+    summer = jnp.tile(
+        jnp.eye(depth, dtype=packed.dtype), (pc, 1)
+    )                                               # [P*8D, D]
+    outs = []
+    for bi in range(b_):
+        for hh in range(nheads):
+            rows = jnp.take(
+                tabs[bi, hh], flat[bi, :, hh].reshape(-1), axis=0, mode="clip"
+            ).reshape(q, p * 8 * depth)             # [Q, P*8D]
+            cwx = cw[bi, :, hh].reshape(q, pc) @ expander
+            outs.append(
+                jax.lax.dot(
+                    rows * cwx, summer,
+                    preferred_element_type=jnp.float32,
+                ).astype(packed.dtype)
+            )                                       # [Q, D]
+    out = jnp.stack(outs).reshape(b_, nheads, q, depth)
+    return out.transpose(0, 2, 1, 3)
+
+
+def ms_deform_attn_3d_packed(
+    value, spatial_shapes, sampling_locations, attention_weights,
+    query_chunk: int = 65536,
+) -> jnp.ndarray:
+    """Corner-packed row-gather implementation (same contract as _xla)."""
+    bsz, s_total, nheads, depth = value.shape
+    sizes = [t * h * w for (t, h, w) in spatial_shapes]
+    q = sampling_locations.shape[1]
+
+    packed = []
+    start = 0
+    for lvl, shape in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(value, start, start + sizes[lvl], axis=1)
+        packed.append(_pack_corners(v_l, shape))
+        start += sizes[lvl]
+
+    def sample_all(loc, wgt):
+        out = jnp.zeros(loc.shape[:2] + (nheads, depth), dtype=value.dtype)
+        for lvl, shape in enumerate(spatial_shapes):
+            out = out + _sample_level_packed(
+                packed[lvl], shape, loc[:, :, :, lvl], wgt[:, :, :, lvl],
+                nheads, depth,
+            )
+        return out
+
+    if q <= query_chunk:
+        return sample_all(sampling_locations, attention_weights).reshape(
+            bsz, q, nheads * depth
+        )
+    pad = (-q) % query_chunk
+    loc = jnp.pad(sampling_locations, ((0, 0), (0, pad)) + ((0, 0),) * 4)
+    wgt = jnp.pad(attention_weights, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    n_chunks = (q + pad) // query_chunk
+    loc = loc.reshape((bsz, n_chunks, query_chunk) + loc.shape[2:])
+    wgt = wgt.reshape((bsz, n_chunks, query_chunk) + wgt.shape[2:])
+    out = jax.lax.map(
+        lambda lw: sample_all(lw[0], lw[1]),
+        (jnp.moveaxis(loc, 1, 0), jnp.moveaxis(wgt, 1, 0)),
+    )
+    out = jnp.moveaxis(out, 0, 1).reshape(bsz, q + pad, nheads * depth)
+    return out[:, :q]
+
+
 def ms_deform_attn_3d(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int, int]],
@@ -270,7 +418,7 @@ def ms_deform_attn_3d(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Dispatch to the best available implementation for this backend."""
-    return ms_deform_attn_3d_blocked(
+    return ms_deform_attn_3d_packed(
         value, spatial_shapes, sampling_locations, attention_weights
     )
 

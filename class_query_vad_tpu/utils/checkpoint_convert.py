@@ -322,6 +322,142 @@ def convert_mamba_block(sd, tree, dst, src):
     _linear(tree, f"{dst}/out_proj", sd, f"{src}.out_proj")
 
 
+def _interp_mamba_pos_embed(pos: np.ndarray, num_patches: int,
+                            num_extra: int = 1) -> np.ndarray:
+    """Spatial pos-embed bicubic interpolation for VideoMamba checkpoints.
+
+    Mirrors /root/reference/models/backbones/mamba.py:92-115: only the
+    position tokens (after ``num_extra`` leading cls tokens) are resampled,
+    on a square grid, with torch's bicubic ``align_corners=False`` (torch is
+    used directly so the converter is bit-faithful to the reference loader).
+    """
+    orig_size = int(round((pos.shape[-2] - num_extra) ** 0.5))
+    new_size = int(round(num_patches ** 0.5))
+    if orig_size == new_size:
+        return pos
+    import torch
+
+    extra = pos[:, :num_extra]
+    tok = torch.from_numpy(
+        np.ascontiguousarray(pos[:, num_extra:], dtype=np.float32)
+    )
+    c = tok.shape[-1]
+    tok = tok.reshape(-1, orig_size, orig_size, c).permute(0, 3, 1, 2)
+    tok = torch.nn.functional.interpolate(
+        tok, size=(new_size, new_size), mode="bicubic", align_corners=False
+    )
+    tok = tok.permute(0, 2, 3, 1).reshape(-1, new_size * new_size, c).numpy()
+    return np.concatenate([extra, tok], axis=1)
+
+
+def _interp_mamba_temporal(tpe: np.ndarray, new_t: int) -> np.ndarray:
+    """Temporal pos-embed linear interpolation (mamba.py:117-130).
+
+    Deviation from the reference (documented): mamba.py:27 sets
+    ``orig_t_size`` from the *config* rather than the checkpoint tensor, so
+    its temporal branch never fires and a length-mismatched embedding is
+    silently dropped by its lenient ``load_state_dict``.  We derive the
+    source length from the tensor itself so pretrained temporal embeddings
+    survive a TEMP_LEN change (interpolation math itself is identical).
+    """
+    orig_t = tpe.shape[1]
+    if orig_t == new_t:
+        return tpe
+    import torch
+
+    t = torch.from_numpy(np.ascontiguousarray(tpe, dtype=np.float32))
+    t = t.permute(0, 2, 1)
+    t = torch.nn.functional.interpolate(
+        t, size=(new_t,), mode="linear", align_corners=False
+    )
+    return t.permute(0, 2, 1).numpy()
+
+
+def strip_mamba_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """'backbone.'/'encoder.' prefix stripping + head removal
+    (mamba.py:63-88)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("backbone."):
+            k = k[9:]
+        elif k.startswith("encoder."):
+            k = k[8:]
+        if k in ("head.weight", "head.bias"):
+            continue
+        out[k] = v
+    return out
+
+
+def convert_videomamba(sd: Dict[str, np.ndarray], tree: dict, dst: str,
+                       prefix: str = "", *, depth: int,
+                       num_frames: int = None, num_patches: int = None):
+    """External VideoMamba package state_dict -> models/videomamba.VideoMamba.
+
+    Source naming is the OpenGVLab ``videomamba_{tiny,small,middle}``
+    bimamba-v2 layout the reference loads through
+    /root/reference/models/backbones/mamba.py:38-133 (patch_embed.proj,
+    pos_embed, temporal_pos_embedding, cls_token, layers.{i}.{norm,mixer},
+    norm_f; backward-direction params suffixed ``_b``).  When
+    ``num_patches``/``num_frames`` are given, the positional embeddings are
+    resampled to the target grid exactly as the reference loader does
+    (mamba.py:92-130).
+    """
+    p = prefix
+    _conv3d(tree, f"{dst}/patch_embed", sd, f"{p}patch_embed.proj")
+    pos = sd[f"{p}pos_embed"]
+    if num_patches is not None:
+        pos = _interp_mamba_pos_embed(pos, num_patches)
+    _set(tree, f"{dst}/pos_embed", pos)
+    tpe = sd[f"{p}temporal_pos_embedding"]
+    if num_frames is not None:
+        tpe = _interp_mamba_temporal(tpe, num_frames)
+    _set(tree, f"{dst}/temporal_pos_embedding", tpe)
+    _set(tree, f"{dst}/cls_token", sd[f"{p}cls_token"])
+    for i in range(depth):
+        s = f"{p}layers.{i}"
+        d = f"{dst}/layers_{i}"
+        _layernorm(tree, f"{d}/norm", sd, f"{s}.norm")
+        mx_s, mx_d = f"{s}.mixer", f"{d}/mixer"
+        _linear(tree, f"{mx_d}/in_proj", sd, f"{mx_s}.in_proj")
+        for suf in ("", "_b"):
+            w = sd[f"{mx_s}.conv1d{suf}.weight"]          # [D, 1, K]
+            _set(tree, f"{mx_d}/conv1d{suf}/kernel", w.transpose(2, 1, 0))
+            _set(tree, f"{mx_d}/conv1d{suf}/bias", sd[f"{mx_s}.conv1d{suf}.bias"])
+            _linear(tree, f"{mx_d}/x_proj{suf}", sd, f"{mx_s}.x_proj{suf}")
+            _set(tree, f"{mx_d}/dt_proj{suf}_kernel",
+                 sd[f"{mx_s}.dt_proj{suf}.weight"].T)
+            _set(tree, f"{mx_d}/dt_proj{suf}_bias",
+                 sd[f"{mx_s}.dt_proj{suf}.bias"])
+            _set(tree, f"{mx_d}/A{suf}_log", sd[f"{mx_s}.A{suf}_log"])
+            _set(tree, f"{mx_d}/D{suf}", sd[f"{mx_s}.D{suf}"])
+        _linear(tree, f"{mx_d}/out_proj", sd, f"{mx_s}.out_proj")
+    _layernorm(tree, f"{dst}/norm_f", sd, f"{p}norm_f")
+
+
+def convert_videomamba_pretrain(sd: Dict[str, np.ndarray], *, depth: int,
+                                num_frames: int,
+                                num_patches: int) -> dict:
+    """Raw VideoMamba pretrain checkpoint -> {'backbone': tree} params
+    fragment, reproducing the reference's build-time load (mamba.py:36-133:
+    model-key unwrap is handled by load_torch_state_dict, prefix strip +
+    head delete by strip_mamba_prefixes, pos-embed interpolation here)."""
+    sd = strip_mamba_prefixes(sd)
+    tree: dict = {}
+    convert_videomamba(sd, tree, "backbone", depth=depth,
+                       num_frames=num_frames, num_patches=num_patches)
+    return tree
+
+
+def convert_mamba_proj(sd, tree, dst_prefix, src):
+    """mamba_proj Sequential (backbone_3d_builder.py:69-76): Linear, LN,
+    GELU, Linear(no bias), LN, Linear(no bias) -> mamba_proj_{0,1,3,4,5}."""
+    _linear(tree, f"{dst_prefix}_0", sd, f"{src}.0")
+    _layernorm(tree, f"{dst_prefix}_1", sd, f"{src}.1")
+    _linear(tree, f"{dst_prefix}_3", sd, f"{src}.3")
+    _layernorm(tree, f"{dst_prefix}_4", sd, f"{src}.4")
+    _linear(tree, f"{dst_prefix}_5", sd, f"{src}.5")
+
+
 def convert_ssm_encoder(sd, tree, dst, src, n_layers, kind):
     """Mamba/VSS encoder layers (dab_transformer.py:528-669)."""
     for i in range(n_layers):
@@ -344,8 +480,17 @@ def convert_detr_checkpoint(sd: Dict[str, np.ndarray], cfg) -> dict:
     """Full reference DETR checkpoint -> flax params dict."""
     m = cfg.CONFIG.MODEL
     tree: dict = {}
-    is_vit = "ViT" in m.BACKBONE_NAME or "Mamba" in m.BACKBONE_NAME
-    if is_vit:
+    if "VideoMamba" in m.BACKBONE_NAME:
+        from ..models.videomamba import VIDEOMAMBA_SPECS
+
+        spec = VIDEOMAMBA_SPECS[m.get("BACKBONE_TYPE", "videomamba_tiny")]
+        img = int(cfg.CONFIG.DATA.get("IMG_SIZE", 224))
+        convert_videomamba(
+            sd, tree, "backbone", "backbone.0.body.", depth=spec["depth"],
+            num_frames=cfg.CONFIG.DATA.TEMP_LEN, num_patches=(img // 16) ** 2,
+        )
+        convert_mamba_proj(sd, tree, "mamba_proj", "backbone.0.mamba_proj")
+    elif "ViT" in m.BACKBONE_NAME:
         convert_vit_body(sd, tree, "backbone/body", "backbone.0.body.",
                          depth=cfg.CONFIG.ViT.DEPTH)
         convert_lateral_convs(sd, tree, "backbone/lateral_convs",

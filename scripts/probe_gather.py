@@ -39,34 +39,33 @@ def main():
     idx = jnp.asarray(rng.integers(0, S, size=(G,)), jnp.int32)
 
     if which in ("all", "xla"):
-        # 1. plain row gather [G] from [S, D]
-        f = jax.jit(lambda v, i: jnp.take(v, i, axis=0).sum())
-        dt = timeit(f, vals32, idx)
-        print(f"take rows fp32:      {dt*1e3:8.2f} ms  "
-              f"{G/dt/1e6:8.1f} Mrows/s")
-        dt = timeit(f, valsbf, idx)
-        print(f"take rows bf16:      {dt*1e3:8.2f} ms  "
-              f"{G/dt/1e6:8.1f} Mrows/s")
+        # row-gather rate vs row width and dtype
+        for d in (32, 128, 256):
+            for dt_name, dt_ in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+                v = jnp.asarray(rng.normal(size=(S, d)), dt_)
+                f = jax.jit(lambda v, i: jnp.take(v, i, axis=0).sum())
+                t = timeit(f, v, idx)
+                gb = G * d * v.dtype.itemsize / t / 1e9
+                print(f"take rows D={d:3d} {dt_name}: {t*1e3:8.2f} ms  "
+                      f"{G/t/1e6:8.1f} Mrows/s  {gb:6.1f} GB/s")
 
-        # 2. take_along_axis formulation
-        f2 = jax.jit(
-            lambda v, i: jnp.take_along_axis(v, i[:, None], axis=0).sum()
+        # blocked (2,2,2,D) slice gather, the shipped exact formulation
+        vol = jnp.asarray(rng.normal(size=(10, 66, 82, 32)), jnp.float32)
+        idx3 = jnp.stack([
+            jnp.asarray(rng.integers(0, 8, G), jnp.int32),
+            jnp.asarray(rng.integers(0, 64, G), jnp.int32),
+            jnp.asarray(rng.integers(0, 80, G), jnp.int32),
+        ], axis=-1)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
         )
-        dt = timeit(f2, vals32, idx)
-        print(f"take_along fp32:     {dt*1e3:8.2f} ms  "
-              f"{G/dt/1e6:8.1f} Mrows/s")
-
-        # 3. one-hot matmul on a small tile (sanity of MXU alternative):
-        #    G rows from S=512-slab
-        slab = vals32[:512]
-        idx_small = jnp.asarray(rng.integers(0, 512, size=(4096,)), jnp.int32)
-        f3 = jax.jit(
-            lambda v, i: (
-                (jax.nn.one_hot(i, 512, dtype=v.dtype) @ v).sum()
-            )
-        )
-        dt = timeit(f3, slab, idx_small)
-        print(f"onehot 4096x512 tile: {dt*1e3:8.2f} ms")
+        fb = jax.jit(lambda v, i: jax.lax.gather(
+            v, i, dnums, slice_sizes=(2, 2, 2, 32),
+            mode=jax.lax.GatherScatterMode.CLIP).sum())
+        t = timeit(fb, vol, idx3)
+        print(f"blocked (2,2,2,32):  {t*1e3:8.2f} ms  "
+              f"{G/t/1e6:8.1f} Mslices/s")
 
     if which in ("all", "pallas"):
         # 4. pallas dynamic_gather: per grid step, take 1024 rows from a
@@ -74,7 +73,9 @@ def main():
         BG = 8192
 
         def kernel(tab_ref, idx_ref, out_ref):
-            out_ref[:] = jnp.take(tab_ref[:], idx_ref[:], axis=0)
+            # per-element gather: out[i, j] = tab[idx[i], j]
+            idx2d = jnp.broadcast_to(idx_ref[:][:, None], (BG, D))
+            out_ref[:] = jnp.take_along_axis(tab_ref[:], idx2d, axis=0)
 
         @jax.jit
         def pgather(tab, indices):

@@ -148,3 +148,113 @@ def test_blocked_matches_xla(rng):
     a = ms_deform_attn_3d_xla(v, shapes, loc, w)
     b = ms_deform_attn_3d_blocked(v, shapes, loc, w, query_chunk=16)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_packed_matches_xla(rng):
+    """The corner-packed row-gather path (one wide row per sample — the
+    TPU-fast exact formulation, PERF.md round 2) must match the reference
+    XLA gather formulation exactly."""
+    from class_query_vad_tpu.ops.deform_attn import (
+        ms_deform_attn_3d_packed,
+        ms_deform_attn_3d_xla,
+    )
+
+    shapes = ((3, 6, 7), (2, 3, 4))
+    S = sum(t * h * w for t, h, w in shapes)
+    B, Q, H, D, P = 2, 50, 4, 8, 5
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.5, 1.5, size=(B, Q, H, 2, P, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, H, 2, P)), jnp.float32)
+    a = ms_deform_attn_3d_xla(v, shapes, loc, w)
+    b = ms_deform_attn_3d_packed(v, shapes, loc, w, query_chunk=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_packed_gradients_match_xla(rng):
+    from class_query_vad_tpu.ops.deform_attn import (
+        ms_deform_attn_3d_packed,
+        ms_deform_attn_3d_xla,
+    )
+
+    shapes = ((2, 4, 5), (2, 2, 3))
+    S = sum(t * h * w for t, h, w in shapes)
+    B, Q, H, D, P = 1, 12, 2, 4, 3
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(0.1, 0.9, size=(B, Q, H, 2, P, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, H, 2, P)), jnp.float32)
+
+    def loss(fn, v, loc, w):
+        return (fn(v, shapes, loc, w) ** 2).sum()
+
+    g_ref = jax.grad(lambda *a: loss(ms_deform_attn_3d_xla, *a), (0, 1, 2))(
+        v, loc, w
+    )
+    g_new = jax.grad(lambda *a: loss(ms_deform_attn_3d_packed, *a), (0, 1, 2))(
+        v, loc, w
+    )
+    for r, n in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(n), atol=3e-4,
+                                   rtol=1e-3)
+
+
+@pytest.mark.parametrize("depth", [30, 32, 71, 128])
+def test_channel_sweep(rng, depth):
+    """Channel sweep mirroring the reference acceptance matrix
+    (/root/reference/ops/test.py:84-86: channels [30, 32, 64, 71, 1025,
+    2048, 3096]) — odd / non-lane-aligned depths must agree across the
+    blocked and corner-packed implementations and the golden XLA path."""
+    from class_query_vad_tpu.ops.deform_attn import (
+        ms_deform_attn_3d_blocked,
+        ms_deform_attn_3d_packed,
+        ms_deform_attn_3d_xla,
+    )
+
+    shapes = ((2, 5, 6), (2, 3, 3))
+    S = sum(t * h * w for t, h, w in shapes)
+    B, Q, H, P = 1, 20, 2, 4
+    v = jnp.asarray(rng.normal(size=(B, S, H, depth)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.3, 1.3, size=(B, Q, H, 2, P, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(size=(B, Q, H, 2, P)), jnp.float32)
+    a = ms_deform_attn_3d_xla(v, shapes, loc, w)
+    b = ms_deform_attn_3d_blocked(v, shapes, loc, w, query_chunk=8)
+    c = ms_deform_attn_3d_packed(v, shapes, loc, w, query_chunk=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
+
+
+@pytest.mark.parametrize("depth", [30, 71])
+def test_channel_sweep_gradients(rng, depth):
+    """Numerical gradient check at non-aligned channel counts (counterpart
+    of check_gradient_numerical, ops/test.py:63-79)."""
+    from class_query_vad_tpu.ops.deform_attn import ms_deform_attn_3d_packed
+
+    shapes = ((2, 3, 4),)
+    S = sum(t * h * w for t, h, w in shapes)
+    B, Q, H, P = 1, 6, 2, 3
+    v = rng.uniform(size=(B, S, H, depth)).astype(np.float32)
+    loc = rng.uniform(0.15, 0.85, size=(B, Q, H, 1, P, 3)).astype(np.float32)
+    w = (rng.uniform(size=(B, Q, H, 1, P)) + 1e-5).astype(np.float32)
+
+    def loss(v_, loc_, w_):
+        return (
+            ms_deform_attn_3d_packed(v_, shapes, loc_, w_, query_chunk=8) ** 2
+        ).sum()
+
+    if True:
+        g = jax.grad(loss, (0, 1, 2))(*map(jnp.asarray, (v, loc, w)))
+        eps = 1e-2
+        for pos, (arr, grad, idx) in enumerate((
+            (v, g[0], (0, 3, 1, depth - 1)),
+            (loc, g[1], (0, 2, 0, 0, 1, 2)),
+            (w, g[2], (0, 4, 1, 0, 2)),
+        )):
+            ap, am = arr.copy(), arr.copy()
+            ap[idx] += eps
+            am[idx] -= eps
+            args_p = [jnp.asarray(x) for x in (v, loc, w)]
+            args_m = [jnp.asarray(x) for x in (v, loc, w)]
+            args_p[pos] = jnp.asarray(ap)
+            args_m[pos] = jnp.asarray(am)
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            np.testing.assert_allclose(float(np.asarray(grad)[idx]), fd,
+                                       rtol=1e-1, atol=1e-4)

@@ -87,3 +87,30 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.asarray(restored.params["params"]["w"]),
         np.asarray(params["params"]["w"]),
     )
+
+
+def test_load_pretrained_params_from_trainstate_ckpt(tmp_path, rng):
+    """--pretrained_path pointing at a saved TrainState orbax dir must yield
+    a plain variables dict {'params': tree} (regression: the TrainState
+    branch used to double-nest 'params')."""
+    from class_query_vad_tpu.config import get_cfg_defaults
+    from class_query_vad_tpu.engine import save_checkpoint
+    from class_query_vad_tpu.engine.checkpoint import load_pretrained_params
+    from class_query_vad_tpu.engine.train import TrainState, make_optimizer
+
+    cfg = get_cfg_defaults()
+    cfg.CONFIG.LOG.BASE_PATH = str(tmp_path)
+    cfg.CONFIG.LOG.EXP_NAME = "ck2"
+    params = {"params": {"w": jnp.asarray(rng.normal(size=(3, 3)), jnp.float32)}}
+    tx = make_optimizer(1e-3)
+    state = TrainState(
+        step=jnp.asarray(1), params=params, opt_state=tx.init(params),
+        dropout_rng=jax.random.PRNGKey(0),
+    )
+    path = save_checkpoint(cfg, state, epoch=0)
+    out = load_pretrained_params(cfg, path)
+    assert set(out.keys()) == {"params"}
+    assert "w" in out["params"]
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["w"]), np.asarray(params["params"]["w"])
+    )

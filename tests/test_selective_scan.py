@@ -67,6 +67,98 @@ def test_matches_oracle(rng, L, with_d, with_bias, softplus):
     np.testing.assert_allclose(np.asarray(last), h_ref, rtol=2e-3, atol=2e-3)
 
 
+# Reference acceptance grid (test_selective_scan.py:373-502): itype
+# {fp32, fp16, bf16} x seqlen {64..4096} x {delta_bias, softplus, D} x
+# varBC_groups {1, 2}, with per-dtype tolerance envelopes.  The full 336-cell
+# product is pruned to an L x dtype sweep crossed with flag combos that cover
+# every flag in both states (pairwise-style), keeping 1-core CPU time sane.
+_REF_TOL = {  # reference :398-400
+    np.float32: dict(rtol=6e-4, atol=2e-3),
+    np.float16: dict(rtol=3e-3, atol=5e-3),
+    "bfloat16": dict(rtol=3e-2, atol=5e-2),
+}
+_FLAG_COMBOS = [  # (with_d, with_bias, softplus, groups)
+    (True, True, True, 2),
+    (False, False, False, 1),
+    (True, False, True, 1),
+    (False, True, False, 2),
+]
+
+
+@pytest.mark.parametrize("L", [64, 256, 1024, 4096])
+@pytest.mark.parametrize("itype", ["float32", "float16", "bfloat16"])
+@pytest.mark.parametrize("with_d,with_bias,softplus,g", _FLAG_COMBOS)
+def test_reference_grid(rng, L, itype, with_d, with_bias, softplus, g):
+    if L == 4096 and (with_d, with_bias, softplus, g) != _FLAG_COMBOS[0]:
+        pytest.skip("4096-length oracle is slow; one flag combo covers it")
+    jt = jnp.dtype(itype)
+    b, dk, n = 2, 4, 8
+    kd = g * dk
+    # quantize inputs to itype FIRST, then run the float64 oracle on the
+    # quantized values — the tolerance then measures kernel error alone
+    # (the reference's comparison is likewise against a ref impl fed the
+    # same-itype inputs, :432-470)
+    u = np.asarray(jnp.asarray(rng.normal(size=(b, kd, L)), jt), np.float64)
+    delta = np.asarray(
+        jnp.asarray(0.5 * rng.uniform(size=(b, kd, L)), jt), np.float64
+    )
+    A = (-0.5 - rng.uniform(size=(kd, n))).astype(np.float32)
+    B = np.asarray(jnp.asarray(rng.normal(size=(b, g, n, L)), jt), np.float64)
+    C = np.asarray(jnp.asarray(rng.normal(size=(b, g, n, L)), jt), np.float64)
+    D = rng.normal(size=(kd,)).astype(np.float32) if with_d else None
+    bias = (0.1 * rng.normal(size=(kd,))).astype(np.float32) if with_bias else None
+
+    y = selective_scan(
+        jnp.asarray(u, jt), jnp.asarray(delta, jt), jnp.asarray(A),
+        jnp.asarray(B, jt), jnp.asarray(C, jt),
+        D=None if D is None else jnp.asarray(D),
+        delta_bias=None if bias is None else jnp.asarray(bias),
+        delta_softplus=softplus,
+    )
+    y_ref, _ = oracle(
+        u.astype(np.float32), delta.astype(np.float32), A,
+        B.astype(np.float32), C.astype(np.float32), D, bias, softplus,
+    )
+    tol = _REF_TOL["bfloat16" if itype == "bfloat16" else np.dtype(itype).type]
+    np.testing.assert_allclose(
+        np.asarray(y, np.float64), y_ref, **tol,
+        err_msg=f"L={L} itype={itype} flags={(with_d, with_bias, softplus, g)}",
+    )
+
+
+@pytest.mark.parametrize("itype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("L", [64, 512])
+def test_gradients_dtype_grid(rng, itype, L):
+    """Associative vs sequential implementations must agree on gradients
+    across dtype x L (two independent impls; counterpart of the reference's
+    CUDA-vs-ref grad comparison :471-502)."""
+    jt = jnp.dtype(itype)
+    b, g, dk, n = 1, 2, 4, 4
+    kd = g * dk
+    u = jnp.asarray(rng.normal(size=(b, kd, L)), jt)
+    delta = jnp.asarray(0.4 * rng.uniform(size=(b, kd, L)), jt)
+    A = -1.0 - jnp.asarray(rng.uniform(size=(kd, n)), jnp.float32)
+    B = jnp.asarray(rng.normal(size=(b, g, n, L)), jt)
+    C = jnp.asarray(rng.normal(size=(b, g, n, L)), jt)
+    D = jnp.asarray(rng.normal(size=(kd,)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.normal(size=(kd,)), jnp.float32)
+
+    def loss(fn, u_, d_):
+        return (fn(u_, d_, A, B, C, D, bias, True).astype(jnp.float32) ** 2).sum()
+
+    ga = jax.grad(lambda u_, d_: loss(selective_scan, u_, d_), (0, 1))(u, delta)
+    gs = jax.grad(
+        lambda u_, d_: loss(selective_scan_sequential, u_, d_), (0, 1)
+    )(u, delta)
+    tol = dict(rtol=1e-3, atol=1e-3) if itype == "float32" else dict(
+        rtol=3e-2, atol=5e-2
+    )
+    for a, s in zip(ga, gs):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(s, np.float64), **tol
+        )
+
+
 def test_assoc_vs_sequential(rng):
     b, g, dk, n, L = 1, 1, 8, 4, 128
     kd = g * dk
