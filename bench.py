@@ -37,6 +37,9 @@ A100_REFERENCE_CLIPS_PER_SEC = 45.0
 def main():
     from class_query_vad_tpu.config import get_cfg_custom
     from class_query_vad_tpu.models import build_model
+    from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = get_cfg_custom(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configuration", "AVA22_ViT-B_fast.yaml"))
     model = build_model(cfg, dtype=jnp.bfloat16)
@@ -58,9 +61,16 @@ def main():
     # round-trip once per step.  (block_until_ready alone is NOT trusted:
     # over this remote-device tunnel it can return early; np.asarray of the
     # last output is the ground truth.)
-    fwd = jax.jit(
-        lambda p, px, mk: model.apply(p, px, mk, True)["pred_boxes"].sum()
-    )
+    # materialize ALL serving outputs (boxes + class logits + actorness):
+    # summing only pred_boxes lets XLA dead-code-eliminate the class-query
+    # decoder branch (~4 ms/clip), which a real eval must pay for
+    def _step(p, px, mk):
+        out = model.apply(p, px, mk, True)
+        return (out["pred_boxes"].sum()
+                + out["pred_logits"].astype(jnp.float32).sum()
+                + out["pred_logits_b"].astype(jnp.float32).sum())
+
+    fwd = jax.jit(_step)
     np.asarray(fwd(params, pixels, mask))   # compile + warm
 
     iters = 30

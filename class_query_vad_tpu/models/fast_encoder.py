@@ -11,6 +11,13 @@ trilinear sampling reduces to (2R+1)^3 statically-shifted dense
 multiply-adds instead of HBM gathers.  See PERF.md for the measured gap
 this closes.
 
+Like the reference transformer (dab_transformer.py:307-329), the encoder
+carries ONE flattened token stream [B, sum(t*h*w), C] across layers: every
+per-token stage (value/output projections, offset+weight heads, softmax,
+FFN, norms) is a single fused op over all levels, and only the windowed
+blend splits the stream back into level grids.  (An earlier per-level-list
+formulation issued 4x the ops and scheduled poorly at B>1.)
+
 Differences from the exact path (intentional, documented):
 * offsets are bounded to +-radius pixels of the query grid per layer
   (multi-scale levels + depth still give a global receptive field);
@@ -32,8 +39,24 @@ from ..ops.deform_attn import (
     directional_offset_init_l2hp,
     directional_offset_init_l3hp,
 )
-from ..ops.fast_deform import align_all_levels, align_level
+from ..ops.fast_deform import align_all_levels
 from ..ops.fast_deform_pallas import windowed_blend_comps
+
+Shapes = Tuple[Tuple[int, int, int], ...]     # per level (T, H, W)
+
+
+def _split_levels(flat: jnp.ndarray, shapes: Shapes) -> List[jnp.ndarray]:
+    """[B, N, ...] -> per level [B, T, H, W, ...] along the token axis."""
+    out, start = [], 0
+    for t, h, w in shapes:
+        n = t * h * w
+        out.append(
+            flat[:, start : start + n].reshape(
+                (flat.shape[0], t, h, w) + flat.shape[2:]
+            )
+        )
+        start += n
+    return out
 
 
 class FastDeformAttn3D(nn.Module):
@@ -41,7 +64,8 @@ class FastDeformAttn3D(nn.Module):
 
     Heads (value/offset/weight/output projections) are shared across query
     levels, like the reference MSDeformAttn's single set of projections over
-    the flattened token stream (ms_deform_attn.py:117-163).
+    the flattened token stream (ms_deform_attn.py:117-163).  Operates on the
+    flat [B, N, C] stream; ``shapes`` gives each level's (T, H, W).
     """
 
     d_model: int = 256
@@ -56,13 +80,15 @@ class FastDeformAttn3D(nn.Module):
     @nn.compact
     def __call__(
         self,
-        src_levels: Sequence[jnp.ndarray],   # per level [B, T, Hl, Wl, C]
-        pos_levels: Sequence[jnp.ndarray],   # per level like src
-        mask_levels: Sequence[jnp.ndarray] | None,  # [B, T, Hl, Wl] True=pad
-    ) -> List[jnp.ndarray]:
+        src_flat: jnp.ndarray,               # [B, N, C]
+        pos_flat: jnp.ndarray,               # [B, N, C]
+        shapes: Shapes,                      # per level (T, H, W)
+        mask_flat: jnp.ndarray | None,       # [B, N] True = padded
+    ) -> jnp.ndarray:
         nh, nl, np_, r = self.n_heads, self.n_levels, self.n_points, self.radius
         head_dim = self.d_model // nh
         kp = nh * np_
+        b = src_flat.shape[0]
         # "2d" drops the temporal taps: 9 shifts instead of 27 and the
         # value volume is read once per level instead of 3x — ~2.5x faster
         # blend at AVA shapes.  Temporal mixing still happens in the
@@ -102,17 +128,20 @@ class FastDeformAttn3D(nn.Module):
         head_bias = jnp.concatenate([off_bias, w_bias]).astype(self.dtype)
         output_proj = nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")
 
-        # values stay FLAT [B, T, H, W, C]: a trailing (nh, 32) head split
-        # would tile to (8, 128) with 3/4 of every lane tile wasted, 4x-ing
-        # the HBM traffic of the alignment cascades (measured: 4.3 -> 1.1
+        # values stay FLAT [.., C]: a trailing (nh, 32) head split would
+        # tile to (8, 128) with 3/4 of every lane tile wasted, 4x-ing the
+        # HBM traffic of the alignment resamples (measured: 4.3 -> 1.1
         # ms/layer).  The blend kernel consumes flat lanes; only the XLA
         # fallback needs nh, passed as a scalar.
-        values = []
-        for j, s in enumerate(src_levels):
-            v = value_proj(s)
-            if mask_levels is not None:
-                v = jnp.where(mask_levels[j][..., None], 0.0, v)
-            values.append(v)
+        values_flat = value_proj(src_flat)
+        if mask_flat is not None:
+            values_flat = jnp.where(mask_flat[..., None], 0.0, values_flat)
+        values = _split_levels(values_flat, shapes)
+
+        # one fused offset+weight head matmul over the whole stream
+        fused = (src_flat + pos_flat) @ head_kernel + head_bias
+        raw = r * jnp.tanh(fused[..., : nl * nc * kp])
+        logits = fused[..., nl * nc * kp :].astype(jnp.float32)
 
         # flat-lane per-head softmax: with lanes (L, h, P), head(k) is
         # (k // P) % nh; the denominator is one matmul against a constant
@@ -124,54 +153,43 @@ class FastDeformAttn3D(nn.Module):
             == (jnp.arange(nl * kp)[None, :] // np_ % nh),
             jnp.float32,
         )
+        z = logits - jax.lax.stop_gradient(
+            jnp.max(logits, axis=-1, keepdims=True)
+        )
+        e = jnp.exp(z)
+        a_flat = (
+            e / jnp.einsum("...k,kc->...c", e, head_ind)
+        ).astype(self.dtype)
 
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
 
-        # shared dyadic resample cascades: aligned_all[i][j] = level j on
-        # query grid i, each level's up/down chain computed once
-        grids = [s.shape[2:4] for s in src_levels]
-        ladder = all(
-            grids[k][0] == 2 * grids[k + 1][0]
-            and grids[k][1] == 2 * grids[k + 1][1]
-            for k in range(len(grids) - 1)
-        )
-        aligned_all = align_all_levels(values, grids) if ladder else None
+        # aligned_all[i][j] = level j on query grid i, each pair one
+        # composed-matrix resize from the native level
+        grids = [(h, w) for _, h, w in shapes]
+        aligned_all = align_all_levels(values, grids)
 
+        raw_levels = _split_levels(raw, shapes)
+        a_levels = _split_levels(a_flat, shapes)
         outs = []
-        for i, (s, p) in enumerate(zip(src_levels, pos_levels)):
-            q = s + p
-            b, t, h, w, _ = q.shape
-            fused = q @ head_kernel + head_bias       # [.., L*(nc+1)*kp]
-            raw = r * jnp.tanh(fused[..., : nl * nc * kp])
-            logits = fused[..., nl * nc * kp :].astype(jnp.float32)
-            z = logits - jax.lax.stop_gradient(
-                jnp.max(logits, axis=-1, keepdims=True)
-            )
-            e = jnp.exp(z)
-            a_flat = (
-                e / jnp.einsum("...k,kc->...c", e, head_ind)
-            ).astype(self.dtype)
-
+        for i, (t, h, w) in enumerate(shapes):
+            rw, af = raw_levels[i], a_levels[i]
             dx = jnp.stack(
-                [raw[..., (nc * j + 0) * kp : (nc * j + 1) * kp]
+                [rw[..., (nc * j + 0) * kp : (nc * j + 1) * kp]
                  for j in range(nl)], axis=1)
             dy = jnp.stack(
-                [raw[..., (nc * j + 1) * kp : (nc * j + 2) * kp]
+                [rw[..., (nc * j + 1) * kp : (nc * j + 2) * kp]
                  for j in range(nl)], axis=1)
             dt = (jnp.stack(
-                [raw[..., (nc * j + 2) * kp : (nc * j + 3) * kp]
+                [rw[..., (nc * j + 2) * kp : (nc * j + 3) * kp]
                  for j in range(nl)], axis=1) if nc == 3 else None)
             a = jnp.stack(
-                [a_flat[..., j * kp : (j + 1) * kp] for j in range(nl)],
+                [af[..., j * kp : (j + 1) * kp] for j in range(nl)],
                 axis=1)
 
-            aligned = (
-                aligned_all[i] if aligned_all is not None
-                else [align_level(v, (h, w)) for v in values]
-            )
             if r == 1:
                 out = windowed_blend_comps(
-                    aligned, dx, dy, dt, a, nh=nh, use_pallas=use_pallas,
+                    aligned_all[i], dx, dy, dt, a, nh=nh,
+                    use_pallas=use_pallas,
                     precise=jnp.dtype(self.dtype) == jnp.float32,
                 ).astype(self.dtype)
             else:
@@ -189,16 +207,18 @@ class FastDeformAttn3D(nn.Module):
                     0, 2, 3, 4, 5, 1, 6
                 )
                 headed = [
-                    v.reshape(v.shape[:4] + (nh, head_dim)) for v in aligned
+                    v.reshape(v.shape[:4] + (nh, head_dim))
+                    for v in aligned_all[i]
                 ]
                 out = windowed_blend_fused(headed, offsets, weights, r)
-            outs.append(output_proj(out.reshape(b, t, h, w, self.d_model)))
-        return outs
+            outs.append(out.reshape(b, t * h * w, self.d_model))
+        return output_proj(jnp.concatenate(outs, axis=1))
 
 
 class FastEncoderLayer(nn.Module):
     """Windowed deformable self-attn + FFN, post-norm (mirrors
-    DeformableTransformerEncoderLayer, dab_transformer.py:484-523)."""
+    DeformableTransformerEncoderLayer, dab_transformer.py:484-523).
+    Operates on the flat [B, N, C] token stream."""
 
     d_model: int = 256
     d_ffn: int = 2048
@@ -213,13 +233,14 @@ class FastEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, src_levels, pos_levels, mask_levels, deterministic: bool = True
+        self, src_flat, pos_flat, shapes: Shapes, mask_flat,
+        deterministic: bool = True,
     ):
-        attn_outs = FastDeformAttn3D(
+        attn = FastDeformAttn3D(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.radius, self.window, self.dtype, self.use_pallas,
             name="self_attn",
-        )(src_levels, pos_levels, mask_levels)
+        )(src_flat, pos_flat, shapes, mask_flat)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         lin1 = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")
@@ -228,16 +249,14 @@ class FastEncoderLayer(nn.Module):
         drop2 = nn.Dropout(self.dropout, deterministic=deterministic)
         drop3 = nn.Dropout(self.dropout, deterministic=deterministic)
 
-        outs = []
-        for s, a in zip(src_levels, attn_outs):
-            x = norm1(s + drop(a))
-            y = lin2(drop2(nn.relu(lin1(x))))
-            outs.append(norm2(x + drop3(y)))
-        return outs
+        x = norm1(src_flat + drop(attn))
+        y = lin2(drop2(nn.relu(lin1(x))))
+        return norm2(x + drop3(y))
 
 
 class FastDeformableEncoder(nn.Module):
-    """Stack of windowed deformable layers over per-level grids."""
+    """Stack of windowed deformable layers.  Takes and returns per-level
+    grids; internally flattens to one token stream across all layers."""
 
     num_layers: int = 6
     d_model: int = 256
@@ -260,14 +279,24 @@ class FastDeformableEncoder(nn.Module):
         mask_levels: Sequence[jnp.ndarray] | None,
         deterministic: bool = True,
     ) -> List[jnp.ndarray]:
+        b, c = src_levels[0].shape[0], src_levels[0].shape[-1]
+        shapes = tuple(tuple(s.shape[1:4]) for s in src_levels)
+        x = jnp.concatenate([s.reshape(b, -1, c) for s in src_levels], axis=1)
+        pos_flat = jnp.concatenate(
+            [p.reshape(b, -1, c) for p in pos_levels], axis=1
+        )
+        mask_flat = (
+            jnp.concatenate([m.reshape(b, -1) for m in mask_levels], axis=1)
+            if mask_levels is not None else None
+        )
+
         layer_cls = FastEncoderLayer
         if self.remat:
-            layer_cls = nn.remat(FastEncoderLayer, static_argnums=(4,))
-        out = list(src_levels)
+            layer_cls = nn.remat(FastEncoderLayer, static_argnums=(3, 5))
         for i in range(self.num_layers):
-            out = layer_cls(
+            x = layer_cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
                 self.n_points, self.radius, self.window, self.dropout,
                 self.dtype, self.use_pallas, name=f"layers_{i}",
-            )(out, pos_levels, mask_levels, deterministic)
-        return out
+            )(x, pos_flat, shapes, mask_flat, deterministic)
+        return _split_levels(x, shapes)

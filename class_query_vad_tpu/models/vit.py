@@ -69,12 +69,31 @@ class ViTAttention(nn.Module):
         # measured 1.24 -> 1.02 ms/block on v5e at [1, 12, 2560, 64]
         # (a pallas flash kernel is faster per-op but its layout
         # transposes make it end-to-end neutral; see PERF.md).
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        #
+        # Batched (b > 1) clips need the heads axis MAJOR before the score
+        # matmul: with [B, N, H, D] operands XLA lowers the batched einsum
+        # to a dilated-convolution trick plus a full extra relayout of the
+        # [B, H, N, N] scores (measured 1.51 ms/clip-layer at B=2 vs 1.06
+        # at B=1 on v5e); pre-transposing to [B, H, N, D] gives clean
+        # batched dots at 0.85/0.75 ms/clip-layer (B=2/8).  At b == 1 the
+        # untransposed form fuses best — jit specializes per shape, so the
+        # branch is static.
+        if b == 1:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        else:
+            q = (q * scale).transpose(0, 2, 1, 3)       # [B, H, N, D]
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         mx = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
         e = jnp.exp((attn - mx).astype(jnp.float32)).astype(self.dtype)
         s = e.astype(jnp.float32).sum(axis=-1, keepdims=True)
         attn = e / s.astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+        if b == 1:
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+        else:
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(
+                0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

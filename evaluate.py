@@ -64,6 +64,9 @@ def setup_cfg(args):
 
 def main():
     args = parse_args()
+    from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = setup_cfg(args)
 
     if os.environ.get("NUM_PROCESSES"):

@@ -22,6 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 

@@ -115,6 +115,33 @@ def test_align_level_roundtrip_properties():
     np.testing.assert_allclose(up, expect, rtol=1e-5)
 
 
+def test_align_level_matches_stepwise_cascade():
+    """The composed-matrix resize must equal the dyadic _up2/_down2 cascade
+    it replaces, including multi-step and mixed up/down axes."""
+    from class_query_vad_tpu.ops.fast_deform import _down2, _up2
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16, 8, 6)), jnp.float32)
+
+    def cascade(feat, out_hw):
+        for axis, target in ((2, out_hw[0]), (3, out_hw[1])):
+            while feat.shape[axis] < target:
+                feat = _up2(feat, axis)
+            while feat.shape[axis] > target:
+                feat = _down2(feat, axis)
+        return feat
+
+    for out_hw in ((4, 32), (64, 2), (16, 8), (2, 2), (32, 16)):
+        np.testing.assert_allclose(
+            np.asarray(align_level(x, out_hw)),
+            np.asarray(cascade(x, out_hw)),
+            rtol=2e-5, atol=2e-5, err_msg=str(out_hw),
+        )
+
+    with pytest.raises(ValueError):
+        align_level(x, (12, 8))
+
+
 def test_windowed_deform_attn_multilevel_shapes_and_grad():
     rng = np.random.default_rng(3)
     B, T, nh, D, P, R = 1, 2, 2, 4, 3, 1

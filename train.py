@@ -47,7 +47,9 @@ def main():
     args = parse_args()
 
     from evaluate import setup_cfg
+    from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     cfg = setup_cfg(args)
     cfg.CONFIG.EVAL_ONLY = False
 
