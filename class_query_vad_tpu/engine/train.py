@@ -86,8 +86,9 @@ def backbone_freeze_labels(params, cfg):
     )
 
 
-def make_optimizer(lr: float, grad_accum: int = 1, clip_norm: float = 1.0,
+def make_optimizer(lr, grad_accum: int = 1, clip_norm: float = 1.0,
                    freeze_labels=None) -> optax.GradientTransformation:
+    """lr may be a float (constant) or an optax schedule."""
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
@@ -103,7 +104,8 @@ def make_optimizer(lr: float, grad_accum: int = 1, clip_norm: float = 1.0,
     return tx
 
 
-def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, optax.GradientTransformation]:
+def create_train_state(model, cfg, rng, sample_batch,
+                       steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
     params_rng, dropout_rng = jax.random.split(rng)
     params = model.init(
         params_rng, jnp.asarray(sample_batch["pixels"]),
@@ -120,8 +122,17 @@ def create_train_state(model, cfg, rng, sample_batch) -> Tuple[TrainState, optax
             f"tune_point={cfg.CONFIG.MODEL.TUNE_POINT}: freezing "
             f"{n_frozen}/{len(leaves)} parameter tensors in the backbone"
         )
+    # CONFIG.TRAIN.LR_POLICY selects an optax schedule (utils/lr_scheduler,
+    # counterpart of the reference's unwired timm builders); the default is
+    # the reference train loop's constant LR (/root/reference/train.py:83).
+    lr = cfg.CONFIG.TRAIN.LR
+    policy = cfg.CONFIG.TRAIN.get("LR_POLICY", "constant")
+    if policy != "constant" and steps_per_epoch > 0:
+        from ..utils.lr_scheduler import build_scheduler
+
+        lr = build_scheduler(cfg, steps_per_epoch)
     tx = make_optimizer(
-        cfg.CONFIG.TRAIN.LR, cfg.CONFIG.TRAIN.GRAD_ACCUM,
+        lr, cfg.CONFIG.TRAIN.GRAD_ACCUM,
         cfg.CONFIG.TRAIN.get("CLIP_GRAD_NORM", 1.0),
         freeze_labels=freeze,
     )

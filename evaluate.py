@@ -35,6 +35,12 @@ def parse_args():
     parser.add_argument("--pretrained_path", default="")
     parser.add_argument("--root_data_path", type=str, default=None)
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the eval loop "
+                             "into DIR (view with TensorBoard/XProf)")
+    parser.add_argument("--flops", action="store_true",
+                        help="print the model's XLA cost analysis "
+                             "(FLOPs/bytes) before evaluating")
     return parser.parse_args()
 
 
@@ -110,6 +116,15 @@ def main():
     n_params = param_count(params)
     print("Number of parameters in the model: %6.2fM" % (n_params / 1e6))
 
+    if args.flops:
+        from class_query_vad_tpu.utils.flops import model_cost
+
+        first = next(iter(loader))[0]
+        cost = model_cost(model, params, jnp.asarray(first["pixels"]),
+                          jnp.asarray(first["mask"]))
+        print("Model cost analysis: %.2f GFLOPs, %.2f GB accessed"
+              % (cost["flops"] / 1e9, cost["bytes_accessed"] / 1e9))
+
     barrier = lambda: None
     if world > 1:
         from jax.experimental import multihost_utils
@@ -119,9 +134,17 @@ def main():
     t0 = time.time()
     # criterion => eval losses are computed/logged and a non-finite total
     # aborts (reference video_action_recognition.py:208-213)
-    result = run_validation(cfg, model, params, postprocess, loader,
-                            rank=rank, world_size=world, barrier=barrier,
-                            criterion=criterion)
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from class_query_vad_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+    with profile_ctx:
+        result = run_validation(cfg, model, params, postprocess, loader,
+                                rank=rank, world_size=world, barrier=barrier,
+                                criterion=criterion)
     if result is not None:
         line = {"mAP": result["mAP"], "time": time.time() - t0}
         if "v_mAP" in result:

@@ -114,3 +114,35 @@ def test_load_pretrained_params_from_trainstate_ckpt(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(out["params"]["w"]), np.asarray(params["params"]["w"])
     )
+
+
+def test_lr_policy_schedules():
+    """CONFIG.TRAIN.LR_POLICY wires utils/lr_scheduler into the optimizer:
+    cosine+warmup must ramp then decay; multistep must drop at milestones."""
+    from class_query_vad_tpu.config import get_cfg_defaults
+    from class_query_vad_tpu.utils.lr_scheduler import build_scheduler
+
+    cfg = get_cfg_defaults()
+    cfg.CONFIG.TRAIN.LR = 1e-3
+    cfg.CONFIG.TRAIN.NUM_EPOCHS = 10
+    cfg.CONFIG.TRAIN.LR_POLICY = "cosine"
+    cfg.CONFIG.TRAIN.WARMUP_EPOCHS = 1
+    sched = build_scheduler(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9          # end of warmup
+    assert float(sched(50)) < 1e-3                      # decaying
+    assert float(sched(99)) < float(sched(50))
+
+    cfg.CONFIG.TRAIN.LR_POLICY = "multistep"
+    cfg.CONFIG.TRAIN.LR_MILESTONE = [5]
+    cfg.CONFIG.TRAIN.WARMUP_EPOCHS = 0
+    sched = build_scheduler(cfg, steps_per_epoch=10)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    assert abs(float(sched(60)) - 1e-4) < 1e-9
+
+    # schedules thread through make_optimizer (optax schedule support)
+    tx = make_optimizer(sched, grad_accum=1)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    upd, st = tx.update({"w": jnp.ones((3,))}, st, params)
+    assert np.isfinite(np.asarray(upd["w"])).all()

@@ -108,10 +108,9 @@ def main():
 
     mesh = create_mesh(cfg, batch_size=cfg.CONFIG.TRAIN.BATCH_SIZE)
     first_batch, _ = next(iter(train_loader))
-    from class_query_vad_tpu.engine.train import make_optimizer
-
     state, tx = create_train_state(
-        model, cfg, jax.random.PRNGKey(0), first_batch
+        model, cfg, jax.random.PRNGKey(0), first_batch,
+        steps_per_epoch=len(train_loader),
     )
     if cfg.CONFIG.MODEL.PRETRAINED_PATH:
         params = load_pretrained_params(cfg, cfg.CONFIG.MODEL.PRETRAINED_PATH)
