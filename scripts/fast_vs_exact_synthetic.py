@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Fast-vs-exact encoder accuracy comparison on a learnable synthetic task.
+
+Trains the SAME tiny DETR twice — once with the exact-parity deformable
+encoder (ENCODER_TYPE=attention) and once with the TPU fast encoder
+(ENCODER_TYPE=fast_attention, 2d window) — on a synthetic JHMDB-format
+world where the action class is visually decodable (a moving rectangle
+whose color encodes its class), then compares f-mAP / v-mAP.
+
+Together with tests/test_transplant.py (which proves the fast blend equals
+the exact sampler wherever offsets stay in-window), this gives the
+architectural variant an end-to-end trained-accuracy datapoint: both
+encoders should solve the task to the same mAP.
+
+Runs on CPU (~15-25 min on this 1-core host):
+    JAX_PLATFORMS= python scripts/fast_vs_exact_synthetic.py [epochs]
+"""
+
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+N_VIDEOS = 8
+N_CLASSES = 3
+N_FRAMES = 12
+RES = (60, 80)
+CLASS_COLORS = [(255, 60, 60), (60, 255, 60), (60, 60, 255)]
+
+
+def make_world(root):
+    rng = np.random.default_rng(7)
+    vids, nframes, gttubes = [], {}, {}
+    for i in range(N_VIDEOS):
+        v = f"act/v_{i:04d}"
+        vids.append(v)
+        nframes[v] = N_FRAMES
+        label = i % N_CLASSES
+        x, y = rng.uniform(5, 35), rng.uniform(5, 25)
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        rows = []
+        d = os.path.join(root, v)
+        os.makedirs(d, exist_ok=True)
+        for f in range(1, N_FRAMES + 1):
+            xf = float(np.clip(x + dx * f, 2, RES[1] - 28))
+            yf = float(np.clip(y + dy * f, 2, RES[0] - 22))
+            rows.append([f, xf, yf, xf + 24, yf + 18])
+            img = rng.integers(0, 60, (RES[0], RES[1], 3), dtype=np.uint8)
+            img[int(yf) : int(yf) + 18, int(xf) : int(xf) + 24] = CLASS_COLORS[
+                label
+            ]
+            Image.fromarray(img).save(os.path.join(d, f"{f:05d}.png"))
+        gttubes[v] = {label: [np.array(rows)]}
+    with open(os.path.join(root, "JHMDB-GT.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "labels": [str(i) for i in range(N_CLASSES)],
+                "train_videos": [vids] * 3,
+                "test_videos": [vids] * 3,
+                "nframes": nframes,
+                "resolution": {v: RES for v in vids},
+                "gttubes": gttubes,
+            },
+            f,
+        )
+
+
+def make_cfg(root, encoder_type):
+    from class_query_vad_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    c = cfg.CONFIG
+    c.DATA.DATASET_NAME = "jhmdb"
+    c.DATA.ANNO_PATH = root
+    c.DATA.DATA_PATH = root
+    c.DATA.NUM_CLASSES = N_CLASSES
+    c.DATA.TEMP_LEN = N_FRAMES
+    c.DATA.IMG_SIZE = 64
+    c.DATA.MAX_BOXES = 4
+    c.MODEL.SINGLE_FRAME = False
+    c.MODEL.TEMP_LEN = N_FRAMES
+    c.MODEL.QUERY_NUM = 5
+    c.MODEL.ENC_LAYERS = 1
+    c.MODEL.DEC_LAYERS = 1
+    c.MODEL.DIM_FEEDFORWARD = 256
+    c.MODEL.BACKBONE_NAME = "ViT"
+    c.MODEL.ENCODER_TYPE = encoder_type
+    c.MODEL.FAST_RADIUS = 1
+    c.MODEL.FAST_WINDOW = "2d"
+    c.ViT.DEPTH = 1
+    c.ViT.USE_CHECKPOINT = False
+    c.TRAIN.BATCH_SIZE = 2
+    c.TRAIN.GRAD_ACCUM = 1
+    c.TRAIN.LR = 2e-4
+    c.LOG.BASE_PATH = root
+    c.LOG.EXP_NAME = f"cmp_{encoder_type}"
+    c.LOG.RES_DIR = os.path.join(root, f"res_{encoder_type}")
+    c.EVAL_ONLY = False
+    return cfg
+
+
+def run(root, encoder_type, epochs):
+    from class_query_vad_tpu.datasets import build_dataloader
+    from class_query_vad_tpu.engine import (
+        create_train_state,
+        make_train_step,
+        run_validation,
+    )
+    from class_query_vad_tpu.losses import (
+        build_criterion_and_postprocessor,
+        build_matcher,
+    )
+    from class_query_vad_tpu.models import build_model
+
+    cfg = make_cfg(root, encoder_type)
+    model = build_model(cfg)
+    matcher = build_matcher(cfg)
+    criterion, postprocess, weight_dict = build_criterion_and_postprocessor(
+        cfg, matcher
+    )
+    train_loader = build_dataloader(cfg, "train", num_workers=2)
+    val_loader = build_dataloader(cfg, "val", num_workers=2)
+
+    first, _ = next(iter(train_loader))
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), first)
+    step = jax.jit(make_train_step(model, criterion, weight_dict, tx),
+                   donate_argnums=(0,))
+
+    t0 = time.time()
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        losses = []
+        for batch, _ in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, batch)
+            losses.append(metrics["total_loss"])
+        if (epoch + 1) % 5 == 0:
+            mean = float(np.mean(jax.device_get(losses)))
+            print(f"[{encoder_type}] epoch {epoch + 1}/{epochs} "
+                  f"loss {mean:.4f} ({time.time() - t0:.0f}s)", flush=True)
+
+    result = run_validation(cfg, model, jax.device_get(state.params),
+                            postprocess, val_loader)
+    return {"encoder": encoder_type, "mAP": result["mAP"],
+            "v_mAP": result.get("v_mAP"),
+            "train_s": round(time.time() - t0, 1)}
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        make_world(root)
+        out = [run(root, enc, epochs)
+               for enc in ("attention", "fast_attention")]
+    for r in out:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
