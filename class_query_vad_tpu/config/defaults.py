@@ -50,6 +50,11 @@ _C.CONFIG.TRAIN = CN(
         GRAD_ACCUM=1,
         EVAL_FREQ=1,
         CLIP_GRAD_NORM=1.0,
+        # optax schedule via utils/lr_scheduler (constant | cosine | linear
+        # | step | multistep); the reference trains at constant LR
+        LR_POLICY="constant",
+        WARMUP_EPOCHS=0,
+        MIN_LR=0.0,
     ),
     new_allowed=True,
 )
