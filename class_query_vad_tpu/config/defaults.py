@@ -163,6 +163,8 @@ _C.CONFIG.MODEL = CN(
         ENCODER_TYPE="attention",
         FAST_RADIUS=1,
         FAST_DTYPE="float32",
+        FAST_WINDOW="3d",
+        FAST_CROSS_LEVEL="resample",
         DECODER_TYPE="attention",
         RETURN_INTERM_LAYERS=True,
     ),

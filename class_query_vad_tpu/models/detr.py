@@ -108,6 +108,7 @@ class DETR(nn.Module):
             fast_radius=s.fast_radius,
             fast_dtype=s.fast_dtype,
             fast_window=s.fast_window,
+            fast_cross_level=s.fast_cross_level,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
             name="transformer",

@@ -39,7 +39,7 @@ from ..ops.deform_attn import (
     directional_offset_init_l2hp,
     directional_offset_init_l3hp,
 )
-from ..ops.fast_deform import align_all_levels
+from ..ops.fast_deform import align_all_levels, native_blend_level
 from ..ops.fast_deform_pallas import windowed_blend_comps
 
 Shapes = Tuple[Tuple[int, int, int], ...]     # per level (T, H, W)
@@ -74,6 +74,14 @@ class FastDeformAttn3D(nn.Module):
     n_points: int = 8
     radius: int = 1
     window: str = "3d"       # "3d" = (x, y, t) taps; "2d" = (x, y) only
+    # cross-level value access: "resample" pre-aligns every level onto the
+    # query grid with power-of-two resampling; "native" samples each level
+    # at its own resolution at the query's align_corners=False-mapped
+    # position (the EXACT encoder's geometry, deform_encoder.py:78-87) with
+    # offsets bounded to +-radius native pixels — transplants from exact
+    # checkpoints are then function-equivalent in-window on EVERY level
+    # (utils/transplant.py), not only the own-grid case.
+    cross_level: str = "resample"
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
 
@@ -163,10 +171,17 @@ class FastDeformAttn3D(nn.Module):
 
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
 
-        # aligned_all[i][j] = level j on query grid i, each pair one
-        # composed-matrix resize from the native level
-        grids = [(h, w) for _, h, w in shapes]
-        aligned_all = align_all_levels(values, grids)
+        native = self.cross_level == "native"
+        if native and (nc != 2 or r != 1):
+            raise ValueError(
+                "cross_level='native' supports window='2d', radius=1"
+            )
+        aligned_all = None
+        if not native:
+            # aligned_all[i][j] = level j on query grid i, each pair one
+            # composed-matrix resize from the native level
+            grids = [(h, w) for _, h, w in shapes]
+            aligned_all = align_all_levels(values, grids)
 
         raw_levels = _split_levels(raw, shapes)
         a_levels = _split_levels(a_flat, shapes)
@@ -186,7 +201,14 @@ class FastDeformAttn3D(nn.Module):
                 [af[..., j * kp : (j + 1) * kp] for j in range(nl)],
                 axis=1)
 
-            if r == 1:
+            if native:
+                out = sum(
+                    native_blend_level(
+                        values[j], dx[:, j], dy[:, j], a[:, j], nh
+                    )
+                    for j in range(nl)
+                ).astype(self.dtype)
+            elif r == 1:
                 out = windowed_blend_comps(
                     aligned_all[i], dx, dy, dt, a, nh=nh,
                     use_pallas=use_pallas,
@@ -227,6 +249,7 @@ class FastEncoderLayer(nn.Module):
     n_points: int = 8
     radius: int = 1
     window: str = "3d"
+    cross_level: str = "resample"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
@@ -238,8 +261,8 @@ class FastEncoderLayer(nn.Module):
     ):
         attn = FastDeformAttn3D(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            self.radius, self.window, self.dtype, self.use_pallas,
-            name="self_attn",
+            self.radius, self.window, self.cross_level, self.dtype,
+            self.use_pallas, name="self_attn",
         )(src_flat, pos_flat, shapes, mask_flat)
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
@@ -266,6 +289,7 @@ class FastDeformableEncoder(nn.Module):
     n_points: int = 8
     radius: int = 1
     window: str = "3d"
+    cross_level: str = "resample"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = True
@@ -296,7 +320,8 @@ class FastDeformableEncoder(nn.Module):
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
-                self.n_points, self.radius, self.window, self.dropout,
-                self.dtype, self.use_pallas, name=f"layers_{i}",
+                self.n_points, self.radius, self.window, self.cross_level,
+                self.dropout, self.dtype, self.use_pallas,
+                name=f"layers_{i}",
             )(x, pos_flat, shapes, mask_flat, deterministic)
         return _split_levels(x, shapes)

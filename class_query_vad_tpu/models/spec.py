@@ -47,6 +47,7 @@ class ModelSpec:
     fast_radius: int = 1
     fast_dtype: str = "float32"
     fast_window: str = "3d"
+    fast_cross_level: str = "resample"
     decoder_type: str = "attention"
     backbone_name: str = "ViT"
     bbox_embed_diff_each_layer: bool = False
@@ -87,6 +88,7 @@ def spec_from_cfg(cfg) -> ModelSpec:
         fast_radius=int(m.get("FAST_RADIUS", 1)),
         fast_dtype=str(m.get("FAST_DTYPE", "float32")),
         fast_window=str(m.get("FAST_WINDOW", "3d")),
+        fast_cross_level=str(m.get("FAST_CROSS_LEVEL", "resample")),
         decoder_type=m.get("DECODER_TYPE", "attention"),
         backbone_name=m.BACKBONE_NAME,
         bbox_embed_diff_each_layer=m.BBOX_EMBED_DIFF_EACH_LAYER,

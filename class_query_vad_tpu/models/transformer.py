@@ -82,6 +82,7 @@ class DABTransformer(nn.Module):
     fast_radius: int = 1                 # window radius for 'fast_attention'
     fast_dtype: str = "float32"          # compute dtype for the fast encoder
     fast_window: str = "3d"              # '3d' (x,y,t taps) or '2d' (x,y)
+    fast_cross_level: str = "resample"   # 'resample' | 'native' (see fast_encoder)
     bbox_embed_diff_each_layer: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -103,8 +104,9 @@ class DABTransformer(nn.Module):
             self.encoder = FastDeformableEncoder(
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
-                self.fast_radius, self.fast_window, self.dropout,
-                jnp.dtype(self.fast_dtype), remat=self.remat, name="encoder",
+                self.fast_radius, self.fast_window, self.fast_cross_level,
+                self.dropout, jnp.dtype(self.fast_dtype), remat=self.remat,
+                name="encoder",
             )
         elif self.encoder_type in ("ssm", "vssm"):
             from .ssm_encoder import SSMEncoder

@@ -226,6 +226,67 @@ def windowed_blend_fused(
     return out
 
 
+def native_phase(n_q: int, n_v: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static base cell + fractional phase mapping query index q on an
+    n_q-sized grid onto an n_v-sized value grid:
+
+        p0(q) = (q + 0.5) * (n_v / n_q) - 0.5
+
+    — the reference sampler's align_corners=False map (a query's own
+    normalized centre (q+0.5)/n_q scaled onto the value grid,
+    ms_deform_im2col_cuda_t.cuh:34-115).  Returns (base [n_q] int,
+    phi [n_q] float32) with p0 = base + phi, phi in [0, 1).
+    """
+    p0 = (np.arange(n_q) + 0.5) * (n_v / n_q) - 0.5
+    base = np.floor(p0).astype(np.int64)
+    return base, (p0 - base).astype(np.float32)
+
+
+def native_blend_level(
+    vol: jnp.ndarray,      # [B, T, Hv, Wv, C] value level at NATIVE resolution
+    dx: jnp.ndarray,       # [B, T, Hq, Wq, nh*P] offsets in NATIVE pixels,
+    dy: jnp.ndarray,       #                      |d| < 1
+    a: jnp.ndarray,        # [B, T, Hq, Wq, nh*P] attention weights
+    nh: int,
+) -> jnp.ndarray:
+    """Cross-resolution windowed blend: every query on the (Hq, Wq) grid
+    bilinearly samples ``vol`` at its own mapped position (native_phase)
+    plus a sub-pixel offset, with zero padding outside the volume — the
+    same geometry as the exact sampler (deform_encoder.py:78-87) with the
+    offset clamped to +-1 native pixel.  Spatial-only (the temporal axis is
+    sampled at the query's own frame).  Returns [B, T, Hq, Wq, C] fp32.
+
+    XLA formulation: the 4x4 candidate taps around each query's static
+    base cell become 16 statically-indexed (take-along-axis) shifted maps;
+    a Pallas kernel variant can instead read the small native plane into
+    VMEM once per output tile.
+    """
+    b, t, hv, wv, c = vol.shape
+    hq, wq = dx.shape[2], dx.shape[3]
+    d = c // nh
+    base_y, phi_y = native_phase(hq, hv)
+    base_x, phi_x = native_phase(wq, wv)
+
+    vp = jnp.pad(
+        vol, [(0, 0), (0, 0), (2, 2), (2, 2), (0, 0)]
+    ).astype(jnp.float32)
+    dxf = dx.astype(jnp.float32) + phi_x[None, None, None, :, None]
+    dyf = dy.astype(jnp.float32) + phi_y[None, None, :, None, None]
+    af = a.astype(jnp.float32)
+
+    out = jnp.zeros((b, t, hq, wq, nh, d), jnp.float32)
+    for sy in range(-1, 3):
+        vy = jnp.take(vp, jnp.asarray(base_y + sy + 2), axis=2)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(dyf - sy))
+        ay = af * hy
+        for sx in range(-1, 3):
+            vxy = jnp.take(vy, jnp.asarray(base_x + sx + 2), axis=3)
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(dxf - sx))
+            m = (ay * hx).reshape(b, t, hq, wq, nh, -1).sum(-1)
+            out = out + m[..., None] * vxy.reshape(b, t, hq, wq, nh, d)
+    return out.reshape(b, t, hq, wq, c)
+
+
 def windowed_deform_attn(
     value_levels: Sequence[jnp.ndarray],  # per level [B, T, Hl, Wl, nh, D]
     offsets: jnp.ndarray,   # [B, T, H, W, nh, L, P, 3] (x, y, t), |.| < R

@@ -42,9 +42,20 @@ def exact_to_fast_encoder(
     n_points: int,
     radius: int = 1,
     window: str = "2d",
+    level_scales=None,
 ) -> dict:
     """Convert a trained exact DeformableEncoder param subtree (the
-    ``transformer/encoder`` node) into a FastDeformableEncoder subtree."""
+    ``transformer/encoder`` node) into a FastDeformableEncoder subtree.
+
+    ``level_scales`` (optional [n_levels, nc]) multiplies the offset head
+    per (level, component) before the tanh linearization.  For the fast
+    encoder's ``cross_level='native'`` mode the exact sampler's quirky
+    normalized offsets (o / (T_l, W_l, H_l) against (x, y, t) —
+    deform_encoder.py:78-87) convert to native pixels with
+    ``scale = (W_l/T_l, H_l/W_l, T_l/H_l)``, making the transplant
+    function-equivalent in-window on EVERY level, not only the own-grid
+    cube case.  Pass ``native_level_scales(spatial_shapes)``.
+    """
     nc = 3 if window == "3d" else 2
     nh, nl, np_ = n_heads, n_levels, n_points
     kp = nh * np_
@@ -68,8 +79,14 @@ def exact_to_fast_encoder(
         b = b.reshape(nh, nl, np_, 3)
         perm_k = np.transpose(k, (0, 2, 4, 1, 3))       # [d, l, c, h, p]
         perm_b = np.transpose(b, (1, 3, 0, 2))          # [l, c, h, p]
-        perm_k = perm_k[:, :, :nc].reshape(d_model, nl * nc * kp)
-        perm_b = perm_b[:, :nc].reshape(nl * nc * kp)
+        perm_k = perm_k[:, :, :nc]
+        perm_b = perm_b[:, :nc]
+        if level_scales is not None:
+            s = np.asarray(level_scales, np.float64)[:, :nc]  # [l, c]
+            perm_k = perm_k * s[None, :, :, None, None]
+            perm_b = perm_b * s[:, :, None, None]
+        perm_k = perm_k.reshape(d_model, nl * nc * kp)
+        perm_b = perm_b.reshape(nl * nc * kp)
         # linearize through the tanh bound: radius*tanh(k/r . q + atanh(b/r))
         # ~= k . q + b for in-window offsets, saturating at the window edge
         new_sa["sampling_offsets_kernel"] = perm_k / float(radius)
@@ -99,14 +116,32 @@ def exact_to_fast_encoder(
     return out
 
 
-def transplant_exact_to_fast(params: dict, cfg) -> dict:
+def native_level_scales(spatial_shapes) -> np.ndarray:
+    """Offset scales [(W/T, H/W, T/H) per level] converting the exact
+    sampler's quirk-normalized offsets to native pixels (see
+    exact_to_fast_encoder)."""
+    return np.asarray(
+        [[w / t, h / w, t / h] for (t, h, w) in spatial_shapes], np.float64
+    )
+
+
+def transplant_exact_to_fast(params: dict, cfg, spatial_shapes=None) -> dict:
     """Full-model transplant: identical subtrees pass through; the encoder
     node is converted with :func:`exact_to_fast_encoder` using the fast
-    hyper-parameters from ``cfg``."""
+    hyper-parameters from ``cfg``.  With ``FAST_CROSS_LEVEL: native``,
+    pass the model's per-level ``spatial_shapes`` so the offset head is
+    rescaled to native pixels."""
     m = cfg.CONFIG.MODEL
     params = jax_device_get(params)
     new = copy.deepcopy(params)
     enc = new["params"]["transformer"]["encoder"]
+    scales = None
+    if str(m.get("FAST_CROSS_LEVEL", "resample")) == "native":
+        if spatial_shapes is None:
+            raise ValueError(
+                "FAST_CROSS_LEVEL=native transplant needs spatial_shapes"
+            )
+        scales = native_level_scales(spatial_shapes)
     new["params"]["transformer"]["encoder"] = exact_to_fast_encoder(
         enc,
         n_heads=m.NHEAD,
@@ -114,6 +149,7 @@ def transplant_exact_to_fast(params: dict, cfg) -> dict:
         n_points=m.NUM_ENC_N_POINTS,
         radius=int(m.get("FAST_RADIUS", 1)),
         window=str(m.get("FAST_WINDOW", "3d")),
+        level_scales=scales,
     )
     return new
 

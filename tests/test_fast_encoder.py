@@ -429,3 +429,91 @@ def test_fast_encoder_2d_window_forward_and_grad():
     )(params)
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def _naive_native_sample(vol, dx, dy, a, nh):
+    """numpy oracle: per-query bilinear sample of the native-resolution
+    volume at the align_corners=False mapped position + offset."""
+    B, T, Hv, Wv, C = vol.shape
+    _, _, Hq, Wq, KP = dx.shape
+    P = KP // nh
+    d = C // nh
+    out = np.zeros((B, T, Hq, Wq, C), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for yq in range(Hq):
+                for xq in range(Wq):
+                    py0 = (yq + 0.5) * Hv / Hq - 0.5
+                    px0 = (xq + 0.5) * Wv / Wq - 0.5
+                    for h in range(nh):
+                        for p in range(P):
+                            k = h * P + p
+                            py = py0 + dy[b, t, yq, xq, k]
+                            px = px0 + dx[b, t, yq, xq, k]
+                            y0, x0 = int(np.floor(py)), int(np.floor(px))
+                            fy, fx = py - y0, px - x0
+                            acc = np.zeros(d, np.float32)
+                            for cy in (0, 1):
+                                for cx in (0, 1):
+                                    yi, xi = y0 + cy, x0 + cx
+                                    if 0 <= yi < Hv and 0 <= xi < Wv:
+                                        wgt = (fy if cy else 1 - fy) * (
+                                            fx if cx else 1 - fx)
+                                        acc += wgt * vol[
+                                            b, t, yi, xi,
+                                            h * d : (h + 1) * d]
+                            out[b, t, yq, xq, h * d : (h + 1) * d] += (
+                                a[b, t, yq, xq, k] * acc)
+    return out
+
+
+@pytest.mark.parametrize("vshape,qshape", [
+    ((4, 5), (8, 10)),     # value coarser than queries (upsample case)
+    ((8, 10), (8, 10)),    # same resolution
+    ((8, 12), (4, 6)),     # value finer than queries (downsample case)
+])
+def test_native_blend_level_matches_naive(vshape, qshape):
+    from class_query_vad_tpu.ops.fast_deform import native_blend_level
+
+    rng = np.random.default_rng(13)
+    B, T, nh, d, P = 1, 2, 2, 3, 4
+    Hv, Wv = vshape
+    Hq, Wq = qshape
+    vol = rng.normal(size=(B, T, Hv, Wv, nh * d)).astype(np.float32)
+    dx = rng.uniform(-0.97, 0.97, (B, T, Hq, Wq, nh * P)).astype(np.float32)
+    dy = rng.uniform(-0.97, 0.97, (B, T, Hq, Wq, nh * P)).astype(np.float32)
+    a = rng.uniform(0.05, 1.0, (B, T, Hq, Wq, nh * P)).astype(np.float32)
+
+    got = np.asarray(native_blend_level(
+        jnp.asarray(vol), jnp.asarray(dx), jnp.asarray(dy), jnp.asarray(a),
+        nh))
+    want = _naive_native_sample(vol, dx, dy, a, nh)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_encoder_native_mode_model_forward():
+    """FAST_CROSS_LEVEL: native threads through config -> spec ->
+    transformer -> encoder and produces finite outputs + grads."""
+    from class_query_vad_tpu.config import get_cfg_custom
+    from class_query_vad_tpu.models import build_model
+
+    cfg = get_cfg_custom("configuration/AVA22_ViT-B.yaml")
+    cfg.CONFIG.MODEL.ENCODER_TYPE = "fast_attention"
+    cfg.CONFIG.MODEL.FAST_RADIUS = 1
+    cfg.CONFIG.MODEL.FAST_WINDOW = "2d"
+    cfg.CONFIG.MODEL.FAST_CROSS_LEVEL = "native"
+    cfg.CONFIG.DATA.TEMP_LEN = 4
+    cfg.CONFIG.MODEL.TEMP_LEN = 4
+    cfg.CONFIG.ViT.DEPTH = 1
+    cfg.CONFIG.MODEL.ENC_LAYERS = 1
+    cfg.CONFIG.MODEL.DEC_LAYERS = 1
+
+    model = build_model(cfg)
+    pixels = jnp.zeros((1, 4, 64, 96, 3), jnp.float32)
+    mask = jnp.zeros((1, 64, 96), bool)
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0), pixels, mask, True
+    )
+    out = jax.jit(model.apply, static_argnums=(3,))(params, pixels, mask, True)
+    for k in ("pred_logits", "pred_boxes", "pred_logits_b"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
