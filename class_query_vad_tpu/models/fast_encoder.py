@@ -39,8 +39,8 @@ from ..ops.deform_attn import (
     directional_offset_init_l2hp,
     directional_offset_init_l3hp,
 )
-from ..ops.fast_deform import align_all_levels, native_blend_level
-from ..ops.fast_deform_pallas import windowed_blend_comps
+from ..ops.fast_deform import align_all_levels
+from ..ops.fast_deform_pallas import windowed_blend_comps, windowed_blend_native
 
 Shapes = Tuple[Tuple[int, int, int], ...]     # per level (T, H, W)
 
@@ -202,11 +202,9 @@ class FastDeformAttn3D(nn.Module):
                 axis=1)
 
             if native:
-                out = sum(
-                    native_blend_level(
-                        values[j], dx[:, j], dy[:, j], a[:, j], nh
-                    )
-                    for j in range(nl)
+                out = windowed_blend_native(
+                    values, dx, dy, a, nh=nh, use_pallas=use_pallas,
+                    precise=jnp.dtype(self.dtype) == jnp.float32,
                 ).astype(self.dtype)
             elif r == 1:
                 out = windowed_blend_comps(

@@ -258,6 +258,241 @@ def _blend_pallas_b1_v2_2d(vp, dx, dy, a, *, precise=False, interpret=False):
     )(sel, dx, dy, a, vp)
 
 
+def _rep_axis(x, r: int, axis: int):
+    """Nearest-neighbour repeat along a non-lane axis via broadcast+reshape
+    (Mosaic-friendly; jnp.repeat lowers the same way)."""
+    if r == 1:
+        return x
+    s = list(x.shape)
+    x = jnp.broadcast_to(
+        jnp.expand_dims(x, axis + 1), s[: axis + 1] + [r] + s[axis + 1 :]
+    )
+    s[axis] *= r
+    return x.reshape(s)
+
+
+def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
+                      ratios, precise: bool):
+    """Native-resolution multi-level blend (cross_level='native').
+
+    One t-row of the full query plane per grid step; each value level
+    arrives at its OWN resolution (ratio R = query/native, a power of two
+    >= 1) padded by (2, 2+extra) cells.  Per level the plane is
+    nearest-repeated to query resolution in VMEM and the 4 candidate taps
+    per axis are static slices at stride-R offsets; the hat weights get
+    the static align_corners=False phase phi(x) = frac((x+0.5)/R - 0.5)
+    added before the mass matmul.  Math pinned to
+    fast_deform.native_blend_level (the XLA/numpy oracle).
+    """
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    vp_refs, out_ref = refs[:-1], refs[-1]
+    h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    c = out_ref.shape[-1]
+    sel = s_ref[...]
+
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    for j, (vp_ref, r) in enumerate(zip(vp_refs, ratios)):
+        dx = dx_ref[j, 0].astype(jnp.float32)    # [H, W, kp]
+        dy = dy_ref[j, 0].astype(jnp.float32)
+        a = a_ref[j, 0].astype(jnp.float32)
+        if r > 1:
+            fx = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
+            fy = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+            px = (fx + 0.5) / r - 0.5
+            py = (fy + 0.5) / r - 0.5
+            dx = dx + (px - jnp.floor(px))
+            dy = dy + (py - jnp.floor(py))
+            taps = range(-1, 3)
+        else:
+            # phi == 0: the s=2 tap weight hat(dx - 2) is identically 0
+            taps = range(-1, 2)
+        hx = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in taps}
+        hy = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in taps}
+
+        plane = vp_ref[0]                        # [Hv+4(+e), Wv+4(+e), C]
+        rep_h = _rep_axis(plane, r, 0)
+        for sy in taps:
+            uh = r * (sy + 2) - r // 2
+            vh = _rep_axis(rep_h[uh : uh + h], r, 1)   # [H, W+pad, C]
+            ay = a * hy[sy]
+            for sx in taps:
+                ux = r * (sx + 2) - r // 2
+                m = jax.lax.dot(
+                    (ay * hx[sx]).reshape(h * w, kp), sel,
+                    preferred_element_type=jnp.float32, precision=prec,
+                ).reshape(h, w, c)
+                acc = acc + m * vh[:, ux : ux + w, :].astype(jnp.float32)
+    out_ref[0] = acc
+
+
+def _native_pallas_b1_2d(vps, dx, dy, a, ratios, *, precise=False,
+                         interpret=False):
+    """vps: per level [T, Hv+4+eh, Wv+4+ew, C] (zero-padded, see
+    windowed_blend_native for the extra-pad math); dx/dy/a
+    [J, T, H, W, nh*P] -> out [T, H, W, C] float32."""
+    jl, t = len(vps), dx.shape[1]
+    h, w, kp = dx.shape[2], dx.shape[3], dx.shape[4]
+    c = vps[0].shape[-1]
+
+    vp_specs = [
+        pl.BlockSpec((1,) + v.shape[1:], lambda ti: (ti, 0, 0, 0))
+        for v in vps
+    ]
+    comp_spec = pl.BlockSpec((jl, 1, h, w, kp), lambda ti: (0, ti, 0, 0, 0))
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+
+    return pl.pallas_call(
+        functools.partial(_native_kernel_2d, ratios=tuple(ratios),
+                          precise=precise),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti: (0, 0)),
+            comp_spec, comp_spec, comp_spec,
+            *vp_specs,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda ti: (ti, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, h, w, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(sel, dx, dy, a, *vps)
+
+
+def _native_vmem_mb(h, w, c, kp, vshapes, ratios,
+                    vol_bytes=2, comp_bytes=2) -> float:
+    """Double-buffered VMEM working set of the native kernel in MB,
+    including the repeated-plane temporaries."""
+    vp = sum((hv) * (wv) * c * vol_bytes for hv, wv in vshapes)
+    rep = max(
+        (hv * r) * wv * c * 4 + h * (wv * r) * c * 4
+        for (hv, wv), r in zip(vshapes, ratios)
+    )
+    comps = 3 * len(vshapes) * h * w * kp * comp_bytes
+    out = h * w * c * 4
+    return (2 * (vp + comps) + 2 * out + rep + h * w * c * 4) / 2 ** 20
+
+
+def windowed_blend_native(
+    values: Sequence[jnp.ndarray],   # per level [B, T, Hv, Wv, C] NATIVE res
+    dx: jnp.ndarray,                 # [B, J, T, H, W, nh*P] native-px offsets
+    dy: jnp.ndarray,
+    a: jnp.ndarray,
+    nh: int = 8,
+    use_pallas: bool = True,
+    precise: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """cross_level='native' blend for one query grid: every level sampled
+    at its own resolution at the query's align_corners=False-mapped
+    position (fast_deform.native_blend_level semantics, spatial-only
+    window, |offset| < 1 native pixel).
+
+    Levels coarser than or equal to the query grid (integer dyadic ratio)
+    take the Pallas kernel; finer levels (their contribution is only a
+    query-grid-sized output) take the XLA oracle.  Backward is the XLA
+    oracle's VJP via custom_vjp.
+    """
+    from .fast_deform import native_blend_level
+
+    h, w = dx.shape[3], dx.shape[4]
+    c = values[0].shape[-1]
+
+    kernel_levels, xla_levels = [], []
+    for j, v in enumerate(values):
+        hv, wv = v.shape[2], v.shape[3]
+        ok = (
+            h % hv == 0 and w % wv == 0 and h // hv == w // wv
+            and (h // hv) & (h // hv - 1) == 0
+        )
+        (kernel_levels if ok else xla_levels).append(j)
+
+    out = None
+    ph, pw = (-h) % 8, (-w) % 8
+    pallas_ok = (
+        use_pallas and nh == 8 and c % 256 == 0 and kernel_levels
+        and _native_vmem_mb(
+            h + ph, w + pw, c, dx.shape[-1],
+            [(values[j].shape[2] + 4, values[j].shape[3] + 4)
+             for j in kernel_levels],
+            [h // values[j].shape[2] for j in kernel_levels],
+            values[0].dtype.itemsize, dx.dtype.itemsize,
+        ) <= 96.0
+    )
+    if pallas_ok:
+        kl = kernel_levels
+        out = _native_blend2d_pallas_entry(
+            tuple(values[j] for j in kl),
+            dx[:, kl], dy[:, kl], a[:, kl],
+            (h, w), precise, interpret,
+        )
+    else:
+        xla_levels = list(range(len(values)))
+
+    for j in xla_levels:
+        contrib = native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j],
+                                     nh)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _native_blend2d_pallas_entry(vols, dx, dy, a, hw, precise, interpret):
+    h, w = hw
+    ph, pw = (-h) % 8, (-w) % 8
+    ratios = tuple(h // v.shape[2] for v in vols)
+    vps = []
+    for v, r in zip(vols, ratios):
+        # pad 2 cells each side for the 4-tap window, plus enough extra on
+        # the high side that the repeated plane covers the 8-padded query
+        # grid: r*(Nv+4+e) >= (N+pad) + 4r - r//2 with r*Nv == N
+        eh = max(0, -(-(ph - r // 2) // r))
+        ew = max(0, -(-(pw - r // 2) // r))
+        vps.append(jnp.pad(
+            v, [(0, 0), (0, 0), (2, 2 + eh), (2, 2 + ew), (0, 0)]
+        ))
+    comps = (dx, dy, a)
+    if ph or pw:
+        grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
+        comps = tuple(jnp.pad(x, grid_pad) for x in comps)
+    fn = functools.partial(
+        _native_pallas_b1_2d, ratios=ratios, precise=precise,
+        interpret=interpret,
+    )
+    out = jax.vmap(lambda vs, dxx, dyy, aa: fn(vs, dxx, dyy, aa))(
+        tuple(vps), *comps
+    )
+    if ph or pw:
+        out = out[:, :, :h, :w]
+    return out
+
+
+def _native_entry_fwd(vols, dx, dy, a, hw, precise, interpret):
+    return (
+        _native_blend2d_pallas_entry(vols, dx, dy, a, hw, precise, interpret),
+        (vols, dx, dy, a),
+    )
+
+
+def _native_entry_bwd(hw, precise, interpret, res, g):
+    from .fast_deform import native_blend_level
+
+    vols, dx, dy, a = res
+
+    def f(vols_, dx_, dy_, a_):
+        return sum(
+            native_blend_level(vols_[j], dx_[:, j], dy_[:, j], a_[:, j], 8)
+            for j in range(len(vols_))
+        )
+
+    _, vjp = jax.vjp(f, vols, dx, dy, a)
+    return vjp(g.astype(jnp.float32))
+
+
+_native_blend2d_pallas_entry.defvjp(_native_entry_fwd, _native_entry_bwd)
+
+
 def _blend_xla_vol_2d(vol, dx, dy, a, nh: int = 8):
     """XLA oracle for the spatial-only window on the unpadded stacked
     volume [B, J, T, H, W, C]; comps [B, J, T, H, W, nh*P]."""

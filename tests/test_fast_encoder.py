@@ -517,3 +517,59 @@ def test_fast_encoder_native_mode_model_forward():
     out = jax.jit(model.apply, static_argnums=(3,))(params, pixels, mask, True)
     for k in ("pred_logits", "pred_boxes", "pred_logits_b"):
         assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_windowed_blend_native_pallas_matches_oracle():
+    """The native-mode Pallas kernel (repeat + stride-R taps + phase rows)
+    must equal the XLA oracle sum over levels, including 8-padding of a
+    non-multiple-of-8 query grid, mixed ratios, and a finer level routed
+    to the XLA path; its custom VJP must match the oracle's grads."""
+    from class_query_vad_tpu.ops.fast_deform import native_blend_level
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        windowed_blend_native,
+    )
+
+    rng = np.random.default_rng(17)
+    B, T, nh, d, P = 2, 2, 8, 32, 4
+    C = nh * d
+    # query grid (12, 20): 12 not a multiple of 8 -> pad path; levels at
+    # ratios 1, 2, 4 (kernel) and one FINER level (24, 40) -> XLA path
+    H, W = 12, 20
+    vshapes = [(12, 20), (6, 10), (3, 5), (24, 40)]
+    values = [
+        jnp.asarray(rng.normal(size=(B, T, hv, wv, C)), jnp.float32)
+        for hv, wv in vshapes
+    ]
+    J = len(values)
+    dx = jnp.asarray(rng.uniform(-0.97, 0.97, (B, J, T, H, W, nh * P)),
+                     jnp.float32)
+    dy = jnp.asarray(rng.uniform(-0.97, 0.97, (B, J, T, H, W, nh * P)),
+                     jnp.float32)
+    a = jnp.asarray(rng.uniform(0.05, 1.0, (B, J, T, H, W, nh * P)),
+                    jnp.float32)
+
+    want = sum(
+        np.asarray(native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j],
+                                      nh))
+        for j in range(J)
+    )
+    got = np.asarray(windowed_blend_native(
+        values, dx, dy, a, nh=nh, use_pallas=True, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def f_k(vals, dxx, dyy, aa):
+        return windowed_blend_native(vals, dxx, dyy, aa, nh=nh,
+                                     use_pallas=True, interpret=True).sum()
+
+    def f_x(vals, dxx, dyy, aa):
+        return sum(
+            native_blend_level(vals[j], dxx[:, j], dyy[:, j], aa[:, j], nh)
+            for j in range(J)
+        ).sum()
+
+    gk = jax.grad(f_k, argnums=(0, 1, 2, 3))(values, dx, dy, a)
+    gx = jax.grad(f_x, argnums=(0, 1, 2, 3))(values, dx, dy, a)
+    for a_, b_ in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
