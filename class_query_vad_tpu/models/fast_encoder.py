@@ -176,6 +176,14 @@ class FastDeformAttn3D(nn.Module):
             raise ValueError(
                 "cross_level='native' supports window='2d', radius=1"
             )
+        if native and len({t for t, _, _ in shapes}) != 1:
+            # the spatial-only native sampler reads each level at the
+            # query's own frame index; mixed temporal extents (possible
+            # with CSN pyramids) would mis-align frames
+            raise ValueError(
+                f"cross_level='native' needs equal T on all levels, got "
+                f"{shapes}"
+            )
         aligned_all = None
         if not native:
             # aligned_all[i][j] = level j on query grid i, each pair one
