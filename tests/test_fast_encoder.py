@@ -573,3 +573,39 @@ def test_windowed_blend_native_pallas_matches_oracle():
     for a_, b_ in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_blend_native_pallas_ratio8_production_grid():
+    """AVA grid-0 shape family: 64x80 queries over the full dyadic pyramid
+    (ratios 1/2/4/8) through the Pallas kernel, one t-row."""
+    from class_query_vad_tpu.ops.fast_deform import native_blend_level
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        windowed_blend_native,
+    )
+
+    rng = np.random.default_rng(19)
+    B, T, nh, d, P = 1, 1, 8, 32, 2
+    C = nh * d
+    H, W = 64, 80
+    vshapes = [(64, 80), (32, 40), (16, 20), (8, 10)]
+    values = [
+        jnp.asarray(rng.normal(size=(B, T, hv, wv, C)), jnp.float32)
+        for hv, wv in vshapes
+    ]
+    J = len(values)
+    dx = jnp.asarray(rng.uniform(-0.97, 0.97, (B, J, T, H, W, nh * P)),
+                     jnp.float32)
+    dy = jnp.asarray(rng.uniform(-0.97, 0.97, (B, J, T, H, W, nh * P)),
+                     jnp.float32)
+    a = jnp.asarray(rng.uniform(0.05, 1.0, (B, J, T, H, W, nh * P)),
+                    jnp.float32)
+
+    want = sum(
+        np.asarray(native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j],
+                                      nh))
+        for j in range(J)
+    )
+    got = np.asarray(windowed_blend_native(
+        values, dx, dy, a, nh=nh, use_pallas=True, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
