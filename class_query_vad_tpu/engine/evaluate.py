@@ -135,11 +135,11 @@ def run_validation(
     t_start = _time.time()
     n_batches = 0
     loss_sums: Dict[str, float] = {}
-    for batch, meta in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = forward_fn(params, jb["pixels"], jb["mask"])
-        if loss_fn is not None:
-            losses = jax.device_get(loss_fn(out, jb))
+
+    def _drain(pending):
+        post_dev, losses_dev, meta = pending
+        if losses_dev is not None:
+            losses = jax.device_get(losses_dev)
             total = float(sum(v for k, v in losses.items()
                               if not k[-1].isdigit()))
             if not math.isfinite(total):
@@ -149,16 +149,31 @@ def run_validation(
             for k, v in losses.items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
             loss_sums["total_loss"] = loss_sums.get("total_loss", 0.0) + total
-        n_batches += 1
-        sizes = jnp.asarray(
-            np.stack([np.asarray(m["size"], np.float32) for m in meta])
-        )
-        scores, boxes, binary = post_fn(out, sizes)
-        scores, boxes, binary = map(np.asarray, (scores, boxes, binary))
+        scores, boxes, binary = map(np.asarray, post_dev)
         if name == "ava":
             buffer_ava(buffers, scores, boxes, binary, meta)
         else:
             buffer_frames(buffers, scores, boxes, binary, meta, nc)
+
+    # 1-step pipeline: batch k+1 is decoded on the host and dispatched to
+    # the device BEFORE batch k's outputs are materialized, so the
+    # host-side buffering (and this environment's ~24 ms tunnel round trip
+    # per transfer) overlaps device compute instead of serializing with it
+    pending = None
+    for batch, meta in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = forward_fn(params, jb["pixels"], jb["mask"])
+        losses_dev = loss_fn(out, jb) if loss_fn is not None else None
+        sizes = jnp.asarray(
+            np.stack([np.asarray(m["size"], np.float32) for m in meta])
+        )
+        post_dev = post_fn(out, sizes)
+        n_batches += 1
+        if pending is not None:
+            _drain(pending)
+        pending = (post_dev, losses_dev, meta)
+    if pending is not None:
+        _drain(pending)
 
     buffers.write(res_dir, rank)
     barrier()
