@@ -172,10 +172,8 @@ class FastDeformAttn3D(nn.Module):
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
 
         native = self.cross_level == "native"
-        if native and (nc != 2 or r != 1):
-            raise ValueError(
-                "cross_level='native' supports window='2d', radius=1"
-            )
+        if native and r != 1:
+            raise ValueError("cross_level='native' supports radius=1 only")
         if native and len({t for t, _, _ in shapes}) != 1:
             # the spatial-only native sampler reads each level at the
             # query's own frame index; mixed temporal extents (possible
@@ -213,6 +211,7 @@ class FastDeformAttn3D(nn.Module):
                 out = windowed_blend_native(
                     values, dx, dy, a, nh=nh, use_pallas=use_pallas,
                     precise=jnp.dtype(self.dtype) == jnp.float32,
+                    dt=dt,
                 ).astype(self.dtype)
             elif r == 1:
                 out = windowed_blend_comps(

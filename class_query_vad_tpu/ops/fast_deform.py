@@ -248,18 +248,22 @@ def native_blend_level(
     dy: jnp.ndarray,       #                      |d| < 1
     a: jnp.ndarray,        # [B, T, Hq, Wq, nh*P] attention weights
     nh: int,
+    dt: jnp.ndarray | None = None,   # temporal offsets, |d| < 1 frames
 ) -> jnp.ndarray:
     """Cross-resolution windowed blend: every query on the (Hq, Wq) grid
-    bilinearly samples ``vol`` at its own mapped position (native_phase)
+    trilinearly samples ``vol`` at its own mapped position (native_phase)
     plus a sub-pixel offset, with zero padding outside the volume — the
     same geometry as the exact sampler (deform_encoder.py:78-87) with the
-    offset clamped to +-1 native pixel.  Spatial-only (the temporal axis is
-    sampled at the query's own frame).  Returns [B, T, Hq, Wq, C] fp32.
+    offset clamped to +-1 native pixel/frame.  With ``dt=None`` the
+    temporal axis is sampled at the query's own frame (spatial-only
+    window); with ``dt`` given, 3 temporal taps interpolate across
+    zero-padded neighbour frames (levels share the query's T).
+    Returns [B, T, Hq, Wq, C] fp32.
 
-    XLA formulation: the 4x4 candidate taps around each query's static
-    base cell become 16 statically-indexed (take-along-axis) shifted maps;
-    a Pallas kernel variant can instead read the small native plane into
-    VMEM once per output tile.
+    XLA formulation: the (3x)4x4 candidate taps around each query's static
+    base cell become statically-indexed (take-along-axis) shifted maps;
+    the Pallas kernel variant instead reads the small native plane into
+    VMEM once per output tile (2d window only for now).
     """
     b, t, hv, wv, c = vol.shape
     hq, wq = dx.shape[2], dx.shape[3]
@@ -274,16 +278,29 @@ def native_blend_level(
     dyf = dy.astype(jnp.float32) + phi_y[None, None, :, None, None]
     af = a.astype(jnp.float32)
 
+    if dt is None:
+        t_taps = [(None, None)]
+    else:
+        # all levels share the query's T (guarded by the encoder), so the
+        # temporal phase is 0 and 3 taps {-1, 0, +1} suffice for |dt| < 1
+        vp_t = jnp.pad(vp, [(0, 0), (1, 1), (0, 0), (0, 0), (0, 0)])
+        dtf = dt.astype(jnp.float32)
+        t_taps = [(st, jnp.maximum(0.0, 1.0 - jnp.abs(dtf - st)))
+                  for st in (-1, 0, 1)]
+
     out = jnp.zeros((b, t, hq, wq, nh, d), jnp.float32)
-    for sy in range(-1, 3):
-        vy = jnp.take(vp, jnp.asarray(base_y + sy + 2), axis=2)
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(dyf - sy))
-        ay = af * hy
-        for sx in range(-1, 3):
-            vxy = jnp.take(vy, jnp.asarray(base_x + sx + 2), axis=3)
-            hx = jnp.maximum(0.0, 1.0 - jnp.abs(dxf - sx))
-            m = (ay * hx).reshape(b, t, hq, wq, nh, -1).sum(-1)
-            out = out + m[..., None] * vxy.reshape(b, t, hq, wq, nh, d)
+    for st, ht in t_taps:
+        vt = vp if st is None else vp_t[:, st + 1 : st + 1 + t]
+        at = af if st is None else af * ht
+        for sy in range(-1, 3):
+            vy = jnp.take(vt, jnp.asarray(base_y + sy + 2), axis=2)
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(dyf - sy))
+            ay = at * hy
+            for sx in range(-1, 3):
+                vxy = jnp.take(vy, jnp.asarray(base_x + sx + 2), axis=3)
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(dxf - sx))
+                m = (ay * hx).reshape(b, t, hq, wq, nh, -1).sum(-1)
+                out = out + m[..., None] * vxy.reshape(b, t, hq, wq, nh, d)
     return out.reshape(b, t, hq, wq, c)
 
 

@@ -383,21 +383,30 @@ def windowed_blend_native(
     use_pallas: bool = True,
     precise: bool = False,
     interpret: bool = False,
+    dt: jnp.ndarray | None = None,   # temporal offsets -> 3d window (XLA)
 ) -> jnp.ndarray:
     """cross_level='native' blend for one query grid: every level sampled
     at its own resolution at the query's align_corners=False-mapped
-    position (fast_deform.native_blend_level semantics, spatial-only
-    window, |offset| < 1 native pixel).
+    position (fast_deform.native_blend_level semantics,
+    |offset| < 1 native pixel/frame).
 
     Levels coarser than or equal to the query grid (integer dyadic ratio)
     take the Pallas kernel; finer levels (their contribution is only a
-    query-grid-sized output) take the XLA oracle.  Backward is the XLA
-    oracle's VJP via custom_vjp.
+    query-grid-sized output) take the XLA oracle.  The 3d window
+    (``dt`` given) currently runs entirely on the XLA oracle.  Backward is
+    the XLA oracle's VJP via custom_vjp.
     """
     from .fast_deform import native_blend_level
 
     h, w = dx.shape[3], dx.shape[4]
     c = values[0].shape[-1]
+
+    if dt is not None:
+        return sum(
+            native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j], nh,
+                               dt=dt[:, j])
+            for j in range(len(values))
+        )
 
     kernel_levels, xla_levels = [], []
     for j, v in enumerate(values):

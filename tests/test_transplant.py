@@ -183,3 +183,66 @@ def test_transplant_native_multilevel_equivalence(rng):
     np.testing.assert_allclose(
         np.asarray(out_exact), np.asarray(out_fast), atol=2e-3, rtol=1e-3
     )
+
+
+def test_transplant_native_3d_full_trilinear_equivalence(rng):
+    """window='3d' + cross_level='native': the transplanted fast encoder
+    reproduces the exact encoder's FULL trilinear sampling (spatial AND
+    temporal offsets) on a multi-level non-cube pyramid in-window."""
+    from class_query_vad_tpu.utils.transplant import native_level_scales
+
+    shapes = ((3, 8, 8), (3, 4, 4))
+    nl = len(shapes)
+    s_total = sum(t * h * w for t, h, w in shapes)
+    exact = DeformableEncoder(
+        num_layers=LAYERS, d_model=D, d_ffn=64, n_levels=nl, n_heads=NH,
+        n_points=NP, dropout=0.0,
+    )
+    fast = FastDeformableEncoder(
+        num_layers=LAYERS, d_model=D, d_ffn=64, n_levels=nl, n_heads=NH,
+        n_points=NP, radius=1, window="3d", cross_level="native",
+        dropout=0.0, use_pallas=False,
+    )
+    src = jnp.asarray(rng.normal(size=(1, s_total, D)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(1, s_total, D)) * 0.1, jnp.float32)
+    vr = jnp.ones((1, nl, 3), jnp.float32)
+    p_exact = jax.device_get(
+        exact.init(jax.random.PRNGKey(0), src, shapes, vr, pos, None, True)
+    )
+    for i in range(LAYERS):
+        sa = p_exact["params"][f"layers_{i}"]["self_attn"]
+        sa["sampling_offsets"]["kernel"] = (
+            rng.normal(size=sa["sampling_offsets"]["kernel"].shape) * 0.001
+        ).astype(np.float32)
+        sa["sampling_offsets"]["bias"] = (
+            rng.normal(size=sa["sampling_offsets"]["bias"].shape) * 0.005
+        ).astype(np.float32)
+        sa["attention_weights"]["kernel"] = (
+            rng.normal(size=sa["attention_weights"]["kernel"].shape) * 0.05
+        ).astype(np.float32)
+        sa["attention_weights"]["bias"] = (
+            rng.normal(size=sa["attention_weights"]["bias"].shape) * 0.1
+        ).astype(np.float32)
+
+    out_exact = exact.apply(p_exact, src, shapes, vr, pos, None, True)
+
+    converted = exact_to_fast_encoder(
+        p_exact["params"], n_heads=NH, n_levels=nl, n_points=NP, radius=1,
+        window="3d", level_scales=native_level_scales(shapes),
+    )
+    src_levels, pos_levels, start = [], [], 0
+    for t, h, w in shapes:
+        n = t * h * w
+        src_levels.append(src[:, start : start + n].reshape(1, t, h, w, D))
+        pos_levels.append(pos[:, start : start + n].reshape(1, t, h, w, D))
+        start += n
+    out_fast = fast.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, converted)},
+        src_levels, pos_levels, None, True,
+    )
+    out_fast = jnp.concatenate(
+        [o.reshape(1, -1, D) for o in out_fast], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_exact), np.asarray(out_fast), atol=2e-3, rtol=1e-3
+    )
