@@ -325,6 +325,95 @@ def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
     out_ref[0] = acc
 
 
+def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
+                      ratios, precise: bool):
+    """3d-window variant of _native_kernel_2d's spatial logic: per level,
+    three t-shift refs into the SAME t-padded volume (index maps offset by
+    +0/+1/+2, like _blend_kernel_v2) x the 4x4 stride-R spatial taps."""
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    nlev = len(ratios)
+    vp_refs, out_ref = refs[:-1], refs[-1]
+    h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
+    c = out_ref.shape[-1]
+    sel = s_ref[...]
+
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    for j in range(nlev):
+        r = ratios[j]
+        dx = dx_ref[j, 0].astype(jnp.float32)
+        dy = dy_ref[j, 0].astype(jnp.float32)
+        dt = dt_ref[j, 0].astype(jnp.float32)
+        a = a_ref[j, 0].astype(jnp.float32)
+        if r > 1:
+            fx = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
+            fy = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+            px = (fx + 0.5) / r - 0.5
+            py = (fy + 0.5) / r - 0.5
+            dx = dx + (px - jnp.floor(px))
+            dy = dy + (py - jnp.floor(py))
+            taps = range(-1, 3)
+        else:
+            taps = range(-1, 2)
+        hx = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in taps}
+        hy = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in taps}
+
+        for it in range(3):
+            plane = vp_refs[3 * j + it][0]
+            att = a * jnp.maximum(0.0, 1.0 - jnp.abs(dt - (it - 1)))
+            rep_h = _rep_axis(plane, r, 0)
+            for sy in taps:
+                uh = r * (sy + 2) - r // 2
+                vh = _rep_axis(rep_h[uh : uh + h], r, 1)
+                ay = att * hy[sy]
+                for sx in taps:
+                    ux = r * (sx + 2) - r // 2
+                    m = jax.lax.dot(
+                        (ay * hx[sx]).reshape(h * w, kp), sel,
+                        preferred_element_type=jnp.float32, precision=prec,
+                    ).reshape(h, w, c)
+                    acc = acc + m * vh[:, ux : ux + w, :].astype(jnp.float32)
+    out_ref[0] = acc
+
+
+def _native_pallas_b1_3d(vps, dx, dy, dt, a, ratios, *, precise=False,
+                         interpret=False):
+    """vps: per level [T+2, Hv+4+eh, Wv+4+ew, C] (t zero-padded by 1);
+    dx/dy/dt/a [J, T, H, W, nh*P] -> out [T, H, W, C] float32."""
+    jl, t = len(vps), dx.shape[1]
+    h, w, kp = dx.shape[2], dx.shape[3], dx.shape[4]
+    c = vps[0].shape[-1]
+
+    vp_specs, vp_args = [], []
+    for v in vps:
+        for st in range(3):
+            vp_specs.append(pl.BlockSpec(
+                (1,) + v.shape[1:],
+                functools.partial(lambda ti, *, st_: (ti + st_, 0, 0, 0),
+                                  st_=st),
+            ))
+            vp_args.append(v)
+    comp_spec = pl.BlockSpec((jl, 1, h, w, kp), lambda ti: (0, ti, 0, 0, 0))
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+
+    return pl.pallas_call(
+        functools.partial(_native_kernel_3d, ratios=tuple(ratios),
+                          precise=precise),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti: (0, 0)),
+            comp_spec, comp_spec, comp_spec, comp_spec,
+            *vp_specs,
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda ti: (ti, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, h, w, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(sel, dx, dy, dt, a, *vp_args)
+
+
 def _native_pallas_b1_2d(vps, dx, dy, a, ratios, *, precise=False,
                          interpret=False):
     """vps: per level [T, Hv+4+eh, Wv+4+ew, C] (zero-padded, see
@@ -401,13 +490,6 @@ def windowed_blend_native(
     h, w = dx.shape[3], dx.shape[4]
     c = values[0].shape[-1]
 
-    if dt is not None:
-        return sum(
-            native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j], nh,
-                               dt=dt[:, j])
-            for j in range(len(values))
-        )
-
     kernel_levels, xla_levels = [], []
     for j, v in enumerate(values):
         hv, wv = v.shape[2], v.shape[3]
@@ -419,6 +501,7 @@ def windowed_blend_native(
 
     out = None
     ph, pw = (-h) % 8, (-w) % 8
+    t_reads = 1 if dt is None else 3
     pallas_ok = (
         use_pallas and nh == 8 and c % 256 == 0 and kernel_levels
         and _native_vmem_mb(
@@ -426,22 +509,30 @@ def windowed_blend_native(
             [(values[j].shape[2] + 4, values[j].shape[3] + 4)
              for j in kernel_levels],
             [h // values[j].shape[2] for j in kernel_levels],
-            values[0].dtype.itemsize, dx.dtype.itemsize,
+            t_reads * values[0].dtype.itemsize, dx.dtype.itemsize,
         ) <= 96.0
     )
     if pallas_ok:
         kl = kernel_levels
-        out = _native_blend2d_pallas_entry(
-            tuple(values[j] for j in kl),
-            dx[:, kl], dy[:, kl], a[:, kl],
-            (h, w), precise, interpret,
-        )
+        vols = tuple(values[j] for j in kl)
+        if dt is None:
+            out = _native_blend2d_pallas_entry(
+                vols, dx[:, kl], dy[:, kl], a[:, kl],
+                (h, w), precise, interpret,
+            )
+        else:
+            out = _native_blend3d_pallas_entry(
+                vols, dx[:, kl], dy[:, kl], dt[:, kl], a[:, kl],
+                (h, w), precise, interpret,
+            )
     else:
         xla_levels = list(range(len(values)))
 
     for j in xla_levels:
-        contrib = native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j],
-                                     nh)
+        contrib = native_blend_level(
+            values[j], dx[:, j], dy[:, j], a[:, j], nh,
+            dt=None if dt is None else dt[:, j],
+        )
         out = contrib if out is None else out + contrib
     return out
 
@@ -500,6 +591,62 @@ def _native_entry_bwd(hw, precise, interpret, res, g):
 
 
 _native_blend2d_pallas_entry.defvjp(_native_entry_fwd, _native_entry_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _native_blend3d_pallas_entry(vols, dx, dy, dt, a, hw, precise,
+                                 interpret):
+    h, w = hw
+    ph, pw = (-h) % 8, (-w) % 8
+    ratios = tuple(h // v.shape[2] for v in vols)
+    vps = []
+    for v, r in zip(vols, ratios):
+        eh = max(0, -(-(ph - r // 2) // r))
+        ew = max(0, -(-(pw - r // 2) // r))
+        vps.append(jnp.pad(
+            v, [(0, 0), (1, 1), (2, 2 + eh), (2, 2 + ew), (0, 0)]
+        ))
+    comps = (dx, dy, dt, a)
+    if ph or pw:
+        grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
+        comps = tuple(jnp.pad(x, grid_pad) for x in comps)
+    fn = functools.partial(
+        _native_pallas_b1_3d, ratios=ratios, precise=precise,
+        interpret=interpret,
+    )
+    out = jax.vmap(lambda vs, dxx, dyy, dtt, aa: fn(vs, dxx, dyy, dtt, aa))(
+        tuple(vps), *comps
+    )
+    if ph or pw:
+        out = out[:, :, :h, :w]
+    return out
+
+
+def _native3_fwd(vols, dx, dy, dt, a, hw, precise, interpret):
+    return (
+        _native_blend3d_pallas_entry(vols, dx, dy, dt, a, hw, precise,
+                                     interpret),
+        (vols, dx, dy, dt, a),
+    )
+
+
+def _native3_bwd(hw, precise, interpret, res, g):
+    from .fast_deform import native_blend_level
+
+    vols, dx, dy, dt, a = res
+
+    def f(vols_, dx_, dy_, dt_, a_):
+        return sum(
+            native_blend_level(vols_[j], dx_[:, j], dy_[:, j], a_[:, j], 8,
+                               dt=dt_[:, j])
+            for j in range(len(vols_))
+        )
+
+    _, vjp = jax.vjp(f, vols, dx, dy, dt, a)
+    return vjp(g.astype(jnp.float32))
+
+
+_native_blend3d_pallas_entry.defvjp(_native3_fwd, _native3_bwd)
 
 
 def _blend_xla_vol_2d(vol, dx, dy, a, nh: int = 8):

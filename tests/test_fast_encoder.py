@@ -609,3 +609,56 @@ def test_windowed_blend_native_pallas_ratio8_production_grid():
         values, dx, dy, a, nh=nh, use_pallas=True, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_blend_native_pallas_3d_matches_oracle():
+    """The 3d native kernel (3 t-shift refs x stride-R spatial taps) must
+    equal the XLA oracle, including grads through its custom VJP."""
+    from class_query_vad_tpu.ops.fast_deform import native_blend_level
+    from class_query_vad_tpu.ops.fast_deform_pallas import (
+        windowed_blend_native,
+    )
+
+    rng = np.random.default_rng(23)
+    B, T, nh, d, P = 2, 3, 8, 32, 2
+    C = nh * d
+    H, W = 8, 16
+    vshapes = [(8, 16), (4, 8), (2, 4)]
+    values = [
+        jnp.asarray(rng.normal(size=(B, T, hv, wv, C)), jnp.float32)
+        for hv, wv in vshapes
+    ]
+    J = len(values)
+    shape = (B, J, T, H, W, nh * P)
+    dx = jnp.asarray(rng.uniform(-0.97, 0.97, shape), jnp.float32)
+    dy = jnp.asarray(rng.uniform(-0.97, 0.97, shape), jnp.float32)
+    dt = jnp.asarray(rng.uniform(-0.97, 0.97, shape), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.05, 1.0, shape), jnp.float32)
+
+    want = sum(
+        np.asarray(native_blend_level(values[j], dx[:, j], dy[:, j], a[:, j],
+                                      nh, dt=dt[:, j]))
+        for j in range(J)
+    )
+    got = np.asarray(windowed_blend_native(
+        values, dx, dy, a, nh=nh, use_pallas=True, interpret=True, dt=dt,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def f_k(vals, dxx, dtt):
+        return windowed_blend_native(vals, dxx, dy, a, nh=nh,
+                                     use_pallas=True, interpret=True,
+                                     dt=dtt).sum()
+
+    def f_x(vals, dxx, dtt):
+        return sum(
+            native_blend_level(vals[j], dxx[:, j], dy[:, j], a[:, j], nh,
+                               dt=dtt[:, j])
+            for j in range(J)
+        ).sum()
+
+    gk = jax.grad(f_k, argnums=(0, 1, 2))(values, dx, dt)
+    gx = jax.grad(f_x, argnums=(0, 1, 2))(values, dx, dt)
+    for a_, b_ in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
