@@ -34,7 +34,45 @@ import numpy as np
 A100_REFERENCE_CLIPS_PER_SEC = 45.0
 
 
+def _probe_tpu(attempts: int = 3, probe_timeout: int = 90) -> None:
+    """Fail fast (exit 2) when the axon tunnel is down: backend init then
+    HANGS ignoring SIGTERM (observed 8+ h outage on 2026-08-18), which
+    would stall the whole benchmark run.  Probe in a subprocess with a
+    hard kill."""
+    import signal
+    import subprocess
+    import tempfile
+
+    code = ("import jax, numpy as np; x = jax.numpy.ones((8, 8)); "
+            "print('PROBE_OK', float(np.asarray(x @ x)[0, 0]), "
+            "jax.devices()[0].platform)")
+    for i in range(attempts):
+        # no pipes (the axon plugin's helper grandchildren keep them open
+        # past a kill, hanging communicate()) and kill the whole process
+        # group on timeout
+        with tempfile.TemporaryFile() as out:
+            proc = subprocess.Popen(
+                [sys.executable, "-c", code], stdout=out,
+                stderr=subprocess.DEVNULL, start_new_session=True,
+            )
+            try:
+                proc.wait(timeout=probe_timeout)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+            out.seek(0)
+            if b"PROBE_OK 8.0" in out.read():
+                return
+        print(f"bench: TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+        time.sleep(30)
+    print("bench: TPU backend unavailable (axon tunnel down) — aborting "
+          "instead of hanging", file=sys.stderr)
+    sys.exit(2)
+
+
 def main():
+    _probe_tpu()
+
     from class_query_vad_tpu.config import get_cfg_custom
     from class_query_vad_tpu.models import build_model
     from class_query_vad_tpu.utils.compile_cache import enable_compile_cache

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 PAD_COST = 1.0e4
-_INF = jnp.float32(jnp.inf)
+# plain python float: a module-level jnp scalar would initialize the jax
+# backend at IMPORT time (and hang when the TPU tunnel is down)
+_INF = float("inf")
 
 
 def _augment_row(carry, cur_row, cost):
