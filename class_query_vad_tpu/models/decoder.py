@@ -55,20 +55,27 @@ class ProjFreeMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True):
-        # q: [B, Lq, E]; k: [B, Lk, E]; v: [B, Lk, V]; mask: [B, Lk]
-        b, lq, _ = q.shape
+    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True,
+                 logits=None):
+        # q: [B, Lq, E]; k: [B, Lk, E]; v: [B, Lk, V]; mask: [B, Lk].
+        # ``logits`` short-circuits the q·k dot with caller-computed,
+        # already-scaled attention logits [B, nh, Lq, Lk] (used by the
+        # decomposed concat-key attention — see ClsDecoderLayer); q/k are
+        # then unused and may be None.
         nh = self.num_heads
-        hd = self.embed_dim // nh
         vhd = self.vdim // nh
-        scale = float(hd) ** -0.5
-
-        qh = (q * scale).reshape(b, lq, nh, hd)
-        kh = k.reshape(b, -1, nh, hd)
+        if logits is None:
+            b, lq, _ = q.shape
+            hd = self.embed_dim // nh
+            scale = float(hd) ** -0.5
+            qh = (q * scale).reshape(b, lq, nh, hd)
+            kh = k.reshape(b, -1, nh, hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+        else:
+            b, lq = logits.shape[0], logits.shape[2]
         vh = v.reshape(b, -1, nh, vhd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
         mask = None if key_padding_mask is None else key_padding_mask[:, None, None, :]
-        attn = _masked_softmax(logits, mask).astype(q.dtype)
+        attn = _masked_softmax(logits, mask).astype(v.dtype)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, lq, self.vdim)
         return nn.Dense(self.vdim, dtype=self.dtype, name="out_proj")(out)
@@ -86,19 +93,25 @@ class QuerySpecificMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True):
-        b, nq, _ = q.shape
+    def __call__(self, q, k, v, key_padding_mask=None, deterministic=True,
+                 logits=None):
+        # ``logits``: caller-computed scaled logits [B, nh, NQ, S] replacing
+        # the q·k dot (decomposed concat-key path — see LocDecoderLayer);
+        # q/k may then be None.
         nh = self.num_heads
-        hd = self.embed_dim // nh
         vhd = self.vdim // nh
-        scale = float(hd) ** -0.5
-
-        qh = (q * scale).reshape(b, nq, nh, hd)
-        kh = k.reshape(b, nq, -1, nh, hd)
+        if logits is None:
+            b, nq, _ = q.shape
+            hd = self.embed_dim // nh
+            scale = float(hd) ** -0.5
+            qh = (q * scale).reshape(b, nq, nh, hd)
+            kh = k.reshape(b, nq, -1, nh, hd)
+            logits = jnp.einsum("bqhd,bqshd->bhqs", qh, kh)
+        else:
+            b, nq = logits.shape[0], logits.shape[2]
         vh = v.reshape(b, nq, -1, nh, vhd)
-        logits = jnp.einsum("bqhd,bqshd->bhqs", qh, kh)
         mask = None if key_padding_mask is None else key_padding_mask[:, None, None, :]
-        attn = _masked_softmax(logits, mask).astype(q.dtype)
+        attn = _masked_softmax(logits, mask).astype(v.dtype)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhqs,bqshd->bqhd", attn, vh).reshape(b, nq, self.vdim)
         return nn.Dense(self.vdim, dtype=self.dtype, name="out_proj")(out)
@@ -196,24 +209,28 @@ class LocDecoderLayer(nn.Module):
             k_content = k_content + k_pos[:, None]
 
         qse = self.ca_qpos_sine_proj(query_sine_embed)
-        q = jnp.concatenate(
-            [q_content.reshape(bt, nq, nh, hd), qse.reshape(bt, nq, nh, hd)],
-            axis=-1,
-        ).reshape(bt, nq, 2 * d)
+        # Concat-key attention, decomposed.  The reference builds per-head
+        # [content_hd | sine_hd] queries against per-head
+        # [k_content_hd | k_pos_hd] keys (dab_transformer.py:954-988 +
+        # attention.py:379); the q·k dot over the 2*hd head then splits
+        # exactly into a content term plus a positional term whose key side
+        # is SHARED across queries — so the [BT, NQ, HW, 2d] broadcast-concat
+        # key never has to be materialized.
         hw = k_content.shape[2]
-        k = jnp.concatenate(
-            [
-                k_content.reshape(bt, nq, hw, nh, hd),
-                jnp.broadcast_to(
-                    k_pos[:, None].reshape(bt, 1, hw, nh, hd), (bt, nq, hw, nh, hd)
-                ),
-            ],
-            axis=-1,
-        ).reshape(bt, nq, hw, 2 * d)
+        scale = float(2 * hd) ** -0.5
+        logits = jnp.einsum(
+            "bqhd,bqshd->bhqs",
+            (q_content * scale).reshape(bt, nq, nh, hd),
+            k_content.reshape(bt, nq, hw, nh, hd),
+        ) + jnp.einsum(
+            "bqhd,bshd->bhqs",
+            (qse * scale).reshape(bt, nq, nh, hd),
+            k_pos.reshape(bt, hw, nh, hd),
+        )
 
         tgt2 = self.cross_attn(
-            q, k, v_mem, key_padding_mask=memory_key_padding_mask,
-            deterministic=det,
+            None, None, v_mem, key_padding_mask=memory_key_padding_mask,
+            deterministic=det, logits=logits,
         )
         tgt = self.norm2(tgt + self.drop(tgt2, deterministic=det))
         tgt_temp = tgt
@@ -296,21 +313,38 @@ class ClsDecoderLayer(nn.Module):
         q2 = self.self_attn(query, query, query, deterministic=det)
         query = self.norm1(query + self.drop(q2, deterministic=det))
 
-        # cross-attention: class queries vs actor-conditioned conv features
-        key = jnp.concatenate(
-            [
-                self.k_proj(cls_feature),
-                jnp.broadcast_to(pos0[:, None], (bt, nq, hw, d)),
-            ],
-            axis=-1,
-        ).reshape(bt * nq, hw, 2 * d)
-        value = self.v_proj(q_memory).reshape(bt * nq, hw, d)
-        cls_query_pos = jnp.broadcast_to(
-            self.cls_qpos_sine_proj(query_sine_embed).reshape(bt * nq, 1, d),
-            (bt * nq, nc, d),
+        # cross-attention: class queries vs actor-conditioned conv features.
+        # The reference concatenates [k_proj(conv_feats) | pos0] on the lane
+        # axis and [class_query | sine_pos] on the query side
+        # (dab_transformer.py:1067-1071); with the whole-lane concat the head
+        # split puts content in heads [0, nh/2) and position in heads
+        # [nh/2, nh).  Both positional sides are query-/class-independent, so
+        # the pos-head logits are computed ONCE per (batch, actor) and
+        # broadcast — the [BT*NQ, HW, 2d] key and [BT*NQ, NC, 2d] query
+        # concats are never materialized.
+        nh = self.nhead
+        assert nh % 2 == 0, "decomposed concat-key attention needs even heads"
+        hd2 = 2 * d // nh
+        nhh = nh // 2
+        scale = float(hd2) ** -0.5
+        kc = self.k_proj(cls_feature).reshape(bt * nq, hw, nhh, hd2)
+        logits_c = jnp.einsum(
+            "bqhd,bshd->bhqs",
+            (query * scale).reshape(bt * nq, nc, nhh, hd2), kc,
         )
-        q_full = jnp.concatenate([query, cls_query_pos], axis=-1)
-        cls_out = self.cross_attn(q_full, key, value, deterministic=det)
+        qp = self.cls_qpos_sine_proj(query_sine_embed)          # [BT, NQ, C]
+        logits_p = jnp.einsum(
+            "bnhd,bshd->bnhs",
+            (qp * scale).reshape(bt, nq, nhh, hd2),
+            pos0.reshape(bt, hw, nhh, hd2),
+        )                                                        # [BT, NQ, nhh, HW]
+        logits_p = jnp.broadcast_to(
+            logits_p.reshape(bt * nq, nhh, 1, hw), (bt * nq, nhh, nc, hw)
+        )
+        logits = jnp.concatenate([logits_c, logits_p], axis=1)
+        value = self.v_proj(q_memory).reshape(bt * nq, hw, d)
+        cls_out = self.cross_attn(None, None, value, deterministic=det,
+                                  logits=logits)
 
         # FFN
         co2 = self.cls_linear2_(

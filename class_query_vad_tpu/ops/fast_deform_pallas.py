@@ -296,8 +296,11 @@ def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
         dy = dy_ref[j, 0].astype(jnp.float32)
         a = a_ref[j, 0].astype(jnp.float32)
         if r > 1:
-            fx = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
-            fy = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+            # int32 iota + cast: Mosaic rejects a float-typed tpu.iota
+            fx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, w, 1), 1).astype(jnp.float32)
+            fy = jax.lax.broadcasted_iota(
+                jnp.int32, (h, 1, 1), 0).astype(jnp.float32)
             px = (fx + 0.5) / r - 0.5
             py = (fy + 0.5) / r - 0.5
             dx = dx + (px - jnp.floor(px))
@@ -345,8 +348,10 @@ def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
         dt = dt_ref[j, 0].astype(jnp.float32)
         a = a_ref[j, 0].astype(jnp.float32)
         if r > 1:
-            fx = jax.lax.broadcasted_iota(jnp.float32, (1, w, 1), 1)
-            fy = jax.lax.broadcasted_iota(jnp.float32, (h, 1, 1), 0)
+            fx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, w, 1), 1).astype(jnp.float32)
+            fy = jax.lax.broadcasted_iota(
+                jnp.int32, (h, 1, 1), 0).astype(jnp.float32)
             px = (fx + 0.5) / r - 0.5
             py = (fy + 0.5) / r - 0.5
             dx = dx + (px - jnp.floor(px))
@@ -481,9 +486,14 @@ def windowed_blend_native(
 
     Levels coarser than or equal to the query grid (integer dyadic ratio)
     take the Pallas kernel; finer levels (their contribution is only a
-    query-grid-sized output) take the XLA oracle.  The 3d window
-    (``dt`` given) currently runs entirely on the XLA oracle.  Backward is
-    the XLA oracle's VJP via custom_vjp.
+    query-grid-sized output) take the XLA oracle.  Mosaic compile time
+    explodes with the repeat ratio (kernel-only, measured on TPU at the
+    AVA shapes: 2d r<=4 compiles in 18 s, r<=8 in 275 s; 3d r<=2 in
+    ~2 min, r<=8 blew past 27 min), so the kernel takes ratios <= 4 for
+    the 2d window and <= 2 for 3d; coarser levels route to the XLA
+    oracle — their native planes are tiny (<= 10 KB at AVA), so the
+    traffic win of keeping them in-kernel is negligible anyway.
+    Backward is the XLA oracle's VJP via custom_vjp.
     """
     from .fast_deform import native_blend_level
 
@@ -496,6 +506,7 @@ def windowed_blend_native(
         ok = (
             h % hv == 0 and w % wv == 0 and h // hv == w // wv
             and (h // hv) & (h // hv - 1) == 0
+            and h // hv <= (4 if dt is None else 2)
         )
         (kernel_levels if ok else xla_levels).append(j)
 
