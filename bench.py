@@ -10,14 +10,16 @@ chip and prints ONE JSON line.
 The exact-parity encoder (configuration/AVA22_ViT-B.yaml) is ~12x slower
 on TPU because unconstrained deformable sampling lowers to HBM gathers;
 the fast encoder is the architecture this framework recommends for TPU
-serving.  B=1 is the best measured operating point (the windowed blend is
-bandwidth-bound; larger batches scale sub-linearly).
+serving.
 
 ``vs_baseline``: the reference publishes no throughput (BASELINE.md), so
 the baseline is an ESTIMATE of the PyTorch reference on one A100:
 ~45 clips/s (ViT-B fp16 inference with the CUDA deformable-attention
 extension, batch 8).  vs_baseline = ours / 45.  The BASELINE.json
 north-star (>=5x A100/chip) corresponds to vs_baseline >= 5.
+
+B=2 is the measured-best operating point after the flat-stream encoder
+restructure (PERF.md batch sweep: 43.3 ms/clip at B=2 vs 45.0 at B=1).
 """
 
 import json
@@ -82,7 +84,7 @@ def main():
     cfg = get_cfg_custom(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configuration", "AVA22_ViT-B_fast.yaml"))
     model = build_model(cfg, dtype=jnp.bfloat16)
 
-    B, T, H, W = 1, 16, 256, 320
+    B, T, H, W = 2, 16, 256, 320
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.normal(size=(B, T, H, W, 3)), jnp.float32)
     mask = jnp.zeros((B, H, W), bool)
