@@ -166,6 +166,7 @@ _C.CONFIG.MODEL = CN(
         FAST_WINDOW="3d",
         FAST_CROSS_LEVEL="resample",
         DECODER_TYPE="attention",
+        DECODER_DTYPE="float32",
         RETURN_INTERM_LAYERS=True,
     ),
     new_allowed=True,

@@ -391,18 +391,22 @@ class TransformerDecoder(nn.Module):
         ]
         self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         self.cls_norm2 = nn.LayerNorm(dtype=self.dtype, name="cls_norm2")
-        self.query_scale = MLP(d, d, 2, dtype=self.dtype, name="query_scale")
-        self.ref_point_head = MLP(d, d, 2, dtype=self.dtype, name="ref_point_head")
+        # fp32 islands regardless of the serving dtype: the sine-embed
+        # transformation chain and the iterative box refinement
+        # (sigmoid/inverse_sigmoid round-trips) are precision-critical
+        f32 = jnp.float32
+        self.query_scale = MLP(d, d, 2, dtype=f32, name="query_scale")
+        self.ref_point_head = MLP(d, d, 2, dtype=f32, name="ref_point_head")
         if self.modulate_hw_attn:
-            self.ref_anchor_head = MLP(d, 2, 2, dtype=self.dtype,
+            self.ref_anchor_head = MLP(d, 2, 2, dtype=f32,
                                        name="ref_anchor_head")
         if self.bbox_embed_diff_each_layer:
             self.bbox_embed = [
-                MLP(d, 4, 3, dtype=self.dtype, name=f"bbox_embed_{i}")
+                MLP(d, 4, 3, dtype=f32, name=f"bbox_embed_{i}")
                 for i in range(self.num_layers)
             ]
         else:
-            self.bbox_embed = MLP(d, 4, 3, dtype=self.dtype, name="bbox_embed")
+            self.bbox_embed = MLP(d, 4, 3, dtype=f32, name="bbox_embed")
         self.class_queries = self.param(
             "class_queries", nn.initializers.normal(1.0),
             (self.num_classes, d),

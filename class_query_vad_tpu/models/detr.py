@@ -109,6 +109,7 @@ class DETR(nn.Module):
             fast_dtype=s.fast_dtype,
             fast_window=s.fast_window,
             fast_cross_level=s.fast_cross_level,
+            decoder_dtype=s.decoder_dtype,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
             name="transformer",
@@ -168,7 +169,7 @@ class DETR(nn.Module):
         outputs_coord = self.transformer.decode_boxes(hs, references)
         outputs_class = self.head_dropout(
             cls_hs, deterministic=deterministic
-        ).mean(axis=-1)                                  # [NL, BT, NQ, NC]
+        ).astype(jnp.float32).mean(axis=-1)              # [NL, BT, NQ, NC]
 
         nl = hs.shape[0]
         b = pixels.shape[0]

@@ -49,6 +49,11 @@ class ModelSpec:
     fast_window: str = "3d"
     fast_cross_level: str = "resample"
     decoder_type: str = "attention"
+    # serving compute dtype for the DAB decoder (Dense/LN/conv matmuls).
+    # float32 = the reference's fp32 semantics (parity default); bfloat16
+    # mirrors the reference's fp16-AMP serving mode — box refinement,
+    # sine embeds and attention softmax stay fp32 either way.
+    decoder_dtype: str = "float32"
     backbone_name: str = "ViT"
     bbox_embed_diff_each_layer: bool = False
     gradient_checkpointing: bool = False
@@ -90,6 +95,7 @@ def spec_from_cfg(cfg) -> ModelSpec:
         fast_window=str(m.get("FAST_WINDOW", "3d")),
         fast_cross_level=str(m.get("FAST_CROSS_LEVEL", "resample")),
         decoder_type=m.get("DECODER_TYPE", "attention"),
+        decoder_dtype=str(m.get("DECODER_DTYPE", "float32")),
         backbone_name=m.BACKBONE_NAME,
         bbox_embed_diff_each_layer=m.BBOX_EMBED_DIFF_EACH_LAYER,
         gradient_checkpointing=bool(cfg.CONFIG.GRADIENT_CHECKPOINTING),

@@ -83,6 +83,7 @@ class DABTransformer(nn.Module):
     fast_dtype: str = "float32"          # compute dtype for the fast encoder
     fast_window: str = "3d"              # '3d' (x,y,t taps) or '2d' (x,y)
     fast_cross_level: str = "resample"   # 'resample' | 'native' (see fast_encoder)
+    decoder_dtype: str = "float32"       # serving dtype for the DAB decoder
     bbox_embed_diff_each_layer: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -122,7 +123,8 @@ class DABTransformer(nn.Module):
             self.dim_feedforward, self.dropout, self.num_classes,
             query_dim=4,
             bbox_embed_diff_each_layer=self.bbox_embed_diff_each_layer,
-            n_levels=self.num_feature_levels, dtype=jnp.float32,
+            n_levels=self.num_feature_levels,
+            dtype=jnp.dtype(self.decoder_dtype),
             name="decoder",
         )
 
@@ -243,7 +245,11 @@ class DABTransformer(nn.Module):
                 deterministic):
         b = mem_levels[0].shape[0]
         t, h, w = mem_levels[0].shape[1:4]
-        mem = jnp.stack(mem_levels, axis=1)           # [B, L, T, H, W, C]
+        ddt = jnp.dtype(self.decoder_dtype)
+        mem = jnp.stack(
+            [m.astype(ddt) for m in mem_levels], axis=1
+        )                                             # [B, L, T, H, W, C]
+        pos_common = pos_common.astype(ddt)
 
         if self.single_frame:
             mem = mem[:, :, t // 2 : t // 2 + 1]
@@ -270,7 +276,7 @@ class DABTransformer(nn.Module):
             refpoint_embed[None], (b, nq, tq, 4)
         ).transpose(0, 2, 1, 3).reshape(b * tq, nq, 4)
 
-        tgt = jnp.zeros((b * t_dec, nq, self.d_model), jnp.float32)
+        tgt = jnp.zeros((b * t_dec, nq, self.d_model), ddt)
         hs, cls_hs, references = self.decoder(
             tgt, mem, mask_dec, pos_dec, refs, (h, w), deterministic
         )
