@@ -40,7 +40,11 @@ from ..ops.deform_attn import (
     directional_offset_init_l3hp,
 )
 from ..ops.fast_deform import align_all_levels
-from ..ops.fast_deform_pallas import windowed_blend_comps, windowed_blend_native
+from ..ops.fast_deform_pallas import (
+    windowed_blend_comps,
+    windowed_blend_fused_head,
+    windowed_blend_native,
+)
 
 Shapes = Tuple[Tuple[int, int, int], ...]     # per level (T, H, W)
 
@@ -148,6 +152,31 @@ class FastDeformAttn3D(nn.Module):
 
         # one fused offset+weight head matmul over the whole stream
         fused = (src_flat + pos_flat) @ head_kernel + head_bias
+
+        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
+        native = self.cross_level == "native"
+
+        if (not native and nc == 2 and r == 1 and use_pallas and nh == 8
+                and self.d_model % 256 == 0 and np_ % 8 == 0):
+            # fully fused route: tanh, the flat per-head softmax and the
+            # per-level component slicing happen INSIDE the blend kernel
+            # (one launch per grid covering all levels) — none of those
+            # intermediates or the dx/dy/a stacks touch HBM.  Gradients
+            # route through the XLA composite into the Pallas backward
+            # (ops/fast_deform_pallas.windowed_blend_fused_head).
+            grids = [(h, w) for _, h, w in shapes]
+            aligned_all = align_all_levels(values, grids)
+            fused_levels = _split_levels(fused.astype(self.dtype), shapes)
+            outs = []
+            for i, (t, h, w) in enumerate(shapes):
+                out = windowed_blend_fused_head(
+                    aligned_all[i], fused_levels[i], nh=nh, radius=float(r),
+                    use_pallas=True,
+                    precise=jnp.dtype(self.dtype) == jnp.float32,
+                ).astype(self.dtype)
+                outs.append(out.reshape(b, t * h * w, self.d_model))
+            return output_proj(jnp.concatenate(outs, axis=1))
+
         raw = r * jnp.tanh(fused[..., : nl * nc * kp])
         logits = fused[..., nl * nc * kp :].astype(jnp.float32)
 
@@ -169,9 +198,6 @@ class FastDeformAttn3D(nn.Module):
             e / jnp.einsum("...k,kc->...c", e, head_ind)
         ).astype(self.dtype)
 
-        use_pallas = self.use_pallas and jax.default_backend() == "tpu"
-
-        native = self.cross_level == "native"
         if native and r != 1:
             raise ValueError("cross_level='native' supports radius=1 only")
         if native and len({t for t, _, _ in shapes}) != 1:

@@ -151,8 +151,12 @@ class DABTransformer(nn.Module):
                 [s.astype(fdt) for s in srcs], pos_levels, masks,
                 deterministic,
             )
-            mem_levels = [m.astype(jnp.float32) for m in mem_levels]
-            pos_levels = [p.astype(jnp.float32) for p in pos_levels]
+            # hand off in the decoder's serving dtype: with a bf16 decoder
+            # the old unconditional fp32 round-trip (encoder bf16 -> fp32
+            # interp -> bf16 decoder) was pure HBM traffic
+            hdt = jnp.promote_types(jnp.dtype(self.decoder_dtype), fdt)
+            mem_levels = [m.astype(hdt) for m in mem_levels]
+            pos_levels = [p.astype(hdt) for p in pos_levels]
             return self._common_grid_decode(
                 mem_levels, pos_levels, masks, spatial_shapes,
                 refpoint_embed, deterministic,

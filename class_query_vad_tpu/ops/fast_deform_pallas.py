@@ -1348,3 +1348,207 @@ def windowed_blend_comps(
     if dt is None:
         return _blend_xla_vol_2d(vol, dx, dy, a, nh)
     return _blend_xla_vol(vol, dx, dy, dt, a, nh)
+
+
+# ---------------------------------------------------------------------------
+# Fused-head blend: tanh + per-head softmax + level slicing INSIDE the kernel
+# ---------------------------------------------------------------------------
+
+def _head_ind(nl: int, nh: int, p: int) -> np.ndarray:
+    """[nl*nh*p, nl*nh*p] same-head indicator for the flat-lane softmax
+    denominator; weight-lane layout is (level, head, point) so
+    head(k) = (k // p) % nh (fast_encoder.py's flat softmax trick)."""
+    k = np.arange(nl * nh * p)
+    return ((k[:, None] // p % nh) == (k[None, :] // p % nh)).astype(
+        np.float32
+    )
+
+
+def _fused_kernel_2d(s_ref, hi_ref, f_ref, vp_ref, out_ref,
+                     *, nl: int, kp: int, radius: float, round_bf16: bool,
+                     precise: bool):
+    """One t-row of one query grid, ALL value levels in one launch.
+
+    f_ref [1, H, W, 3*nl*kp] is the RAW fused offset+weight head output
+    (fast_encoder.py lane layout: offsets (level, comp, head, point) in
+    [0, 2*nl*kp), weight logits (level, head, point) after); the kernel
+    computes radius*tanh offsets, the max-subtracted per-head softmax
+    (denominator = one MXU matmul against the same-head indicator), and
+    the 9-tap stride-1 blend over the nl aligned planes — none of the
+    tanh/softmax/level-stack intermediates ever touch HBM.
+    ``round_bf16`` reproduces the XLA module path's bf16 storage of the
+    tanh offsets and softmax weights (FAST_DTYPE=bfloat16 semantics).
+    """
+    prec = jax.lax.Precision.HIGHEST if precise else None
+    h, w, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    sel = s_ref[...]
+    hind = hi_ref[...]
+    f = f_ref[0]                                      # [H, W, 3*nl*kp]
+    nw0 = 2 * nl * kp
+
+    off = radius * jnp.tanh(f[..., :nw0].astype(jnp.float32))
+    logits = f[..., nw0:].astype(jnp.float32)         # [H, W, nl*kp]
+    z = logits - jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(z)
+    denom = jax.lax.dot(
+        e.reshape(h * w, nl * kp), hind,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(h, w, nl * kp)
+    a_all = e / denom
+    if round_bf16:
+        off = off.astype(jnp.bfloat16).astype(jnp.float32)
+        a_all = a_all.astype(jnp.bfloat16).astype(jnp.float32)
+
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    for j in range(nl):
+        dx = off[..., (2 * j) * kp:(2 * j + 1) * kp]
+        dy = off[..., (2 * j + 1) * kp:(2 * j + 2) * kp]
+        a = a_all[..., j * kp:(j + 1) * kp]
+        hx = [jnp.maximum(0.0, 1.0 - jnp.abs(dx - (k - 1))) for k in range(3)]
+        hy = [jnp.maximum(0.0, 1.0 - jnp.abs(dy - (k - 1))) for k in range(3)]
+        vplane = vp_ref[j, 0]                         # [H+2, W+2, C]
+        for ih in range(3):
+            vh = vplane[ih : ih + h]                  # [H, W+2, C]
+            ay = a * hy[ih]
+            for ix in range(3):
+                hat = (ay * hx[ix]).reshape(h * w, kp)
+                m = jax.lax.dot(
+                    hat, sel, preferred_element_type=jnp.float32,
+                    precision=prec,
+                ).reshape(h, w, c)
+                acc = acc + m * vh[:, ix : ix + w, :].astype(jnp.float32)
+    out_ref[0] = acc
+
+
+def _fused_pallas_b1_2d(vp, f, *, radius, round_bf16, precise, interpret):
+    """vp [J, T, H+2, W+2, C] (h/w zero-padded); f [T, H, W, 3*J*kp]
+    -> out [T, H, W, C] fp32."""
+    jl, t, hp, wp, c = vp.shape
+    h, w = hp - 2, wp - 2
+    kp = f.shape[-1] // (3 * jl)
+    sel = jnp.asarray(_selector(8, kp // 8, c // 8))
+    hind = jnp.asarray(_head_ind(jl, 8, kp // 8))
+
+    return pl.pallas_call(
+        functools.partial(
+            _fused_kernel_2d, nl=jl, kp=kp, radius=radius,
+            round_bf16=round_bf16, precise=precise,
+        ),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((kp, c), lambda ti: (0, 0)),
+            pl.BlockSpec((jl * kp, jl * kp), lambda ti: (0, 0)),
+            pl.BlockSpec((1, h, w, f.shape[-1]), lambda ti: (ti, 0, 0, 0)),
+            pl.BlockSpec((jl, 1, hp, wp, c), lambda ti: (0, ti, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda ti: (ti, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((t, h, w, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(sel, hind, f, vp)
+
+
+def _fused2d_vmem_mb(h, w, c, nl, kp, vol_bytes=2, f_bytes=2) -> float:
+    vp = nl * (h + 2) * (w + 2) * c * vol_bytes
+    fb = h * w * 3 * nl * kp * f_bytes
+    out = h * w * c * 4
+    # + fp32 intermediates held across the level loop (off/e/denom/a)
+    scratch = 4 * h * w * 3 * nl * kp * 4
+    return (2 * (vp + fb) + 2 * out + scratch) / 2 ** 20
+
+
+def _fused2d_composite(vol, fused, nh, radius, precise, interpret):
+    """XLA replica of the fused kernel's math — the module's original
+    tanh / flat-softmax / level-slice path feeding :func:`_blend2d`
+    (whose custom_vjp supplies the Pallas backward) — used as this op's
+    gradient path and non-TPU fallback."""
+    b, jl, t, h, w, c = vol.shape
+    kp = fused.shape[-1] // (3 * jl)
+    nw0 = 2 * jl * kp
+    raw = radius * jnp.tanh(fused[..., :nw0])
+    logits = fused[..., nw0:].astype(jnp.float32)
+    hind = jnp.asarray(_head_ind(jl, nh, kp // nh))
+    z = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True)
+    )
+    e = jnp.exp(z)
+    a_flat = (e / jnp.einsum("...k,kc->...c", e, hind)).astype(fused.dtype)
+    dx = jnp.stack(
+        [raw[..., (2 * j) * kp:(2 * j + 1) * kp] for j in range(jl)], axis=1)
+    dy = jnp.stack(
+        [raw[..., (2 * j + 1) * kp:(2 * j + 2) * kp] for j in range(jl)],
+        axis=1)
+    a = jnp.stack(
+        [a_flat[..., j * kp:(j + 1) * kp] for j in range(jl)], axis=1)
+    return _blend2d(vol, dx, dy, a, precise, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused2d(vol, fused, nh, radius, use_pallas, precise, interpret):
+    b, jl, t, h, w, c = vol.shape
+    kp = fused.shape[-1] // (3 * jl)
+    ok = (
+        use_pallas and nh == 8 and c % 256 == 0 and kp % 8 == 0
+        and _fused2d_vmem_mb(h + (-h) % 8, w + (-w) % 8, c, jl, kp,
+                             vol.dtype.itemsize,
+                             fused.dtype.itemsize) <= 96.0
+    )
+    if not ok:
+        return _fused2d_composite(vol, fused, nh, radius, precise, interpret)
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        vol = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)])
+        fused = jnp.pad(fused, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)])
+    vp = jnp.pad(vol, [(0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    out = jax.vmap(
+        functools.partial(
+            _fused_pallas_b1_2d, radius=float(radius),
+            round_bf16=fused.dtype == jnp.bfloat16, precise=precise,
+            interpret=interpret,
+        )
+    )(vp, fused)
+    if ph or pw:
+        out = out[:, :, :h, :w]
+    return out
+
+
+def _fused2d_fwd(vol, fused, nh, radius, use_pallas, precise, interpret):
+    return (_fused2d(vol, fused, nh, radius, use_pallas, precise, interpret),
+            (vol, fused))
+
+
+def _fused2d_bwd(nh, radius, use_pallas, precise, interpret, res, g):
+    vol, fused = res
+    _, vjp = jax.vjp(
+        lambda v, f: _fused2d_composite(v, f, nh, radius, precise,
+                                        interpret),
+        vol, fused,
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+_fused2d.defvjp(_fused2d_fwd, _fused2d_bwd)
+
+
+def windowed_blend_fused_head(
+    aligned: Sequence[jnp.ndarray],  # per level [B, T, H, W, C] (flat lanes)
+    fused: jnp.ndarray,              # [B, T, H, W, 3*nl*nh*P] raw head output
+    nh: int = 8,
+    radius: float = 1.0,
+    use_pallas: bool = True,
+    precise: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Spatial-window radius-1 blend taking the RAW fused offset+weight
+    head output: tanh, the flat per-head softmax and the per-level
+    component slicing all happen inside one Pallas launch per (batch, t)
+    covering every value level — replacing 1 tanh + 1 softmax + 12 stack
+    materializations + 4 kernel launches per grid per layer on the XLA
+    side.  Gradients route through the XLA composite (recompute) into
+    :func:`_blend2d`'s Pallas backward.  Returns [B, T, H, W, C] fp32.
+    """
+    vol = jnp.stack(list(aligned), axis=1)
+    return _fused2d(vol, fused, nh, radius, use_pallas, precise, interpret)
