@@ -123,8 +123,9 @@ def test_dryrun_multichip_self_provisions():
         [sys.executable, "-c",
          "import jax; jax.devices();"   # poison: backend already initialized
          "import __graft_entry__ as g; g.dryrun_multichip(4)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
-    )
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=840,
+    )  # cold-cache CPU compile of both train-step variants takes ~10 min
+       # on this 1-core host; warm (.jax_cache) is ~2 min
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-3000:])
     assert "dryrun_multichip OK" in proc.stdout
 
