@@ -242,23 +242,3 @@ def test_get_prior_length():
         },
     }
     assert get_prior_length(ds) == {1: 5.0, 2: 6.0}
-
-
-def test_image_classification_config():
-    from class_query_vad_tpu.config.image_defaults import get_cfg_defaults
-
-    cfg = get_cfg_defaults()
-    assert cfg.CONFIG.TRAIN.EPOCH_NUM == 300
-    assert cfg.CONFIG.DATA.NUM_CLASSES == 1000
-    cfg.CONFIG.EXTRA = {"free": 1}   # CONFIG subtree is open
-
-
-def test_legacy_evaluate_signature():
-    import inspect
-
-    from class_query_vad_tpu.engine.legacy import evaluate
-
-    sig = inspect.signature(evaluate)
-    assert list(sig.parameters)[:5] == [
-        "cfg", "model", "params", "postprocessor", "data_loader"
-    ]
