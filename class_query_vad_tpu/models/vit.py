@@ -88,11 +88,18 @@ class ViTAttention(nn.Module):
         mx = jax.lax.stop_gradient(jnp.max(attn, axis=-1, keepdims=True))
         e = jnp.exp((attn - mx).astype(jnp.float32)).astype(self.dtype)
         s = e.astype(jnp.float32).sum(axis=-1, keepdims=True)
-        attn = e / s.astype(self.dtype)
+        # Row-wise denominator commutes through the PV matmul:
+        # (e/s) @ v == (e @ v) / s.  Dividing AFTER the matmul moves the
+        # normalization from the [B, H, N, N] score tensor (one full extra
+        # HBM read+write pass, ~315 MB/layer at AVA B=2 shapes) onto the
+        # tiny [B, N, H, D] output.
         if b == 1:
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+            out = jnp.einsum("bhnm,bmhd->bnhd", e, v)
+            out = (out / s.transpose(0, 2, 1, 3)).astype(self.dtype)
+            out = out.reshape(b, n, self.dim)
         else:
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(
+            out = jnp.einsum("bhnm,bhmd->bhnd", e, v)
+            out = (out / s).astype(self.dtype).transpose(
                 0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
