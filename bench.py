@@ -111,14 +111,40 @@ def main():
                 + out["pred_logits_b"].astype(jnp.float32).sum())
 
     fwd = jax.jit(_step)
+    t_compile = time.perf_counter()
     np.asarray(fwd(params, pixels, mask))   # compile + warm
+    t_compile = time.perf_counter() - t_compile
+    # With a warm .jax_cache the "compile" is a cache load (~10-30 s);
+    # a cold compile is ~4 min.  Record which one this run paid.
+    print(f"bench: first-call (compile or cache-load) {t_compile:.1f}s "
+          f"({'warm cache' if t_compile < 90 else 'COLD COMPILE'})",
+          file=sys.stderr)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, pixels, mask)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0) / iters
+    # Noise control (round-2 verdict: a single 30-iter window captured 12%
+    # below the code's measured steady state).  Run one extra warm window,
+    # then take the MEDIAN of several timed windows, and report the spread
+    # so tunnel contention / cold-start artifacts are visible in the log.
+    iters, windows = 30, 5
+
+    def _window():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, pixels, mask)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / iters
+
+    _window()  # steady-state warm-up (first post-compile window runs slow)
+    dts = sorted(_window() for _ in range(windows))
+    dt = dts[len(dts) // 2]
+    spread = (dts[-1] - dts[0]) / dt
+    print(f"bench: {windows} windows of {iters}: "
+          f"{[round(1000 * d, 1) for d in dts]} ms/batch, "
+          f"median {1000 * dt:.1f}, spread {100 * spread:.1f}%",
+          file=sys.stderr)
+    if spread > 0.15:
+        print("bench: WARNING window spread >15% — tunnel contention or "
+              "thermal noise; do not trust single-window numbers",
+              file=sys.stderr)
     clips_per_sec = B / dt
 
     print(json.dumps({
