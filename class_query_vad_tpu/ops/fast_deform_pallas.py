@@ -272,7 +272,7 @@ def _rep_axis(x, r: int, axis: int):
 
 
 def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
-                      ratios, precise: bool):
+                      ratios, pres=None, precise: bool):
     """Native-resolution multi-level blend (cross_level='native').
 
     One t-row of the full query plane per grid step; each value level
@@ -283,12 +283,20 @@ def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
     the static align_corners=False phase phi(x) = frac((x+0.5)/R - 0.5)
     added before the mass matmul.  Math pinned to
     fast_deform.native_blend_level (the XLA/numpy oracle).
+
+    ``pres[j]``: the plane arrives PRE-repeated by this factor (nearest
+    repeat composes exactly, so XLA pre-repeats the tiny coarse planes and
+    the in-kernel repeat ratio stays <= 2 — Mosaic compile time explodes
+    with the in-kernel unroll ratio, measured 18 s at r<=4 vs 275 s at
+    r=8 on the AVA grid-0 shape).  Slice offsets and phases always use
+    the FULL ratio.
     """
     prec = jax.lax.Precision.HIGHEST if precise else None
     vp_refs, out_ref = refs[:-1], refs[-1]
     h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
     c = out_ref.shape[-1]
     sel = s_ref[...]
+    pres = pres or (1,) * len(ratios)
 
     acc = jnp.zeros((h, w, c), jnp.float32)
     for j, (vp_ref, r) in enumerate(zip(vp_refs, ratios)):
@@ -312,11 +320,14 @@ def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
         hx = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in taps}
         hy = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in taps}
 
-        plane = vp_ref[0]                        # [Hv+4(+e), Wv+4(+e), C]
-        rep_h = _rep_axis(plane, r, 0)
+        # nearest repeat composes exactly: the plane arrives pre-repeated
+        # by pres[j] from XLA, the kernel only repeats the residual factor
+        r2 = r // pres[j]
+        plane = vp_ref[0]              # [(Hv+4+e)*pre, (Wv+4+e)*pre, C]
+        rep_h = _rep_axis(plane, r2, 0)
         for sy in taps:
             uh = r * (sy + 2) - r // 2
-            vh = _rep_axis(rep_h[uh : uh + h], r, 1)   # [H, W+pad, C]
+            vh = _rep_axis(rep_h[uh : uh + h], r2, 1)  # [H, W+pad, C]
             ay = a * hy[sy]
             for sx in taps:
                 ux = r * (sx + 2) - r // 2
@@ -329,7 +340,7 @@ def _native_kernel_2d(s_ref, dx_ref, dy_ref, a_ref, *refs,
 
 
 def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
-                      ratios, precise: bool):
+                      ratios, pres=None, precise: bool):
     """3d-window variant of _native_kernel_2d's spatial logic: per level,
     three t-shift refs into the SAME t-padded volume (index maps offset by
     +0/+1/+2, like _blend_kernel_v2) x the 4x4 stride-R spatial taps."""
@@ -339,6 +350,7 @@ def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
     h, w, kp = dx_ref.shape[2], dx_ref.shape[3], dx_ref.shape[4]
     c = out_ref.shape[-1]
     sel = s_ref[...]
+    pres = pres or (1,) * nlev
 
     acc = jnp.zeros((h, w, c), jnp.float32)
     for j in range(nlev):
@@ -362,13 +374,14 @@ def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
         hx = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dx - s)) for s in taps}
         hy = {s: jnp.maximum(0.0, 1.0 - jnp.abs(dy - s)) for s in taps}
 
+        r2 = r // pres[j]
         for it in range(3):
             plane = vp_refs[3 * j + it][0]
             att = a * jnp.maximum(0.0, 1.0 - jnp.abs(dt - (it - 1)))
-            rep_h = _rep_axis(plane, r, 0)
+            rep_h = _rep_axis(plane, r2, 0)
             for sy in taps:
                 uh = r * (sy + 2) - r // 2
-                vh = _rep_axis(rep_h[uh : uh + h], r, 1)
+                vh = _rep_axis(rep_h[uh : uh + h], r2, 1)
                 ay = att * hy[sy]
                 for sx in taps:
                     ux = r * (sx + 2) - r // 2
@@ -380,10 +393,11 @@ def _native_kernel_3d(s_ref, dx_ref, dy_ref, dt_ref, a_ref, *refs,
     out_ref[0] = acc
 
 
-def _native_pallas_b1_3d(vps, dx, dy, dt, a, ratios, *, precise=False,
-                         interpret=False):
-    """vps: per level [T+2, Hv+4+eh, Wv+4+ew, C] (t zero-padded by 1);
-    dx/dy/dt/a [J, T, H, W, nh*P] -> out [T, H, W, C] float32."""
+def _native_pallas_b1_3d(vps, dx, dy, dt, a, ratios, pres=None, *,
+                         precise=False, interpret=False):
+    """vps: per level [T+2, (Hv+4+eh)*pre, (Wv+4+ew)*pre, C] (t zero-padded
+    by 1, spatially pre-repeated by pres[j]); dx/dy/dt/a [J, T, H, W, nh*P]
+    -> out [T, H, W, C] float32."""
     jl, t = len(vps), dx.shape[1]
     h, w, kp = dx.shape[2], dx.shape[3], dx.shape[4]
     c = vps[0].shape[-1]
@@ -402,6 +416,7 @@ def _native_pallas_b1_3d(vps, dx, dy, dt, a, ratios, *, precise=False,
 
     return pl.pallas_call(
         functools.partial(_native_kernel_3d, ratios=tuple(ratios),
+                          pres=tuple(pres) if pres else None,
                           precise=precise),
         grid=(t,),
         in_specs=[
@@ -419,11 +434,12 @@ def _native_pallas_b1_3d(vps, dx, dy, dt, a, ratios, *, precise=False,
     )(sel, dx, dy, dt, a, *vp_args)
 
 
-def _native_pallas_b1_2d(vps, dx, dy, a, ratios, *, precise=False,
-                         interpret=False):
-    """vps: per level [T, Hv+4+eh, Wv+4+ew, C] (zero-padded, see
-    windowed_blend_native for the extra-pad math); dx/dy/a
-    [J, T, H, W, nh*P] -> out [T, H, W, C] float32."""
+def _native_pallas_b1_2d(vps, dx, dy, a, ratios, pres=None, *,
+                         precise=False, interpret=False):
+    """vps: per level [T, (Hv+4+eh)*pre, (Wv+4+ew)*pre, C] (zero-padded
+    then spatially pre-repeated by pres[j] — see windowed_blend_native for
+    the extra-pad math); dx/dy/a [J, T, H, W, nh*P] -> out [T, H, W, C]
+    float32."""
     jl, t = len(vps), dx.shape[1]
     h, w, kp = dx.shape[2], dx.shape[3], dx.shape[4]
     c = vps[0].shape[-1]
@@ -437,6 +453,7 @@ def _native_pallas_b1_2d(vps, dx, dy, a, ratios, *, precise=False,
 
     return pl.pallas_call(
         functools.partial(_native_kernel_2d, ratios=tuple(ratios),
+                          pres=tuple(pres) if pres else None,
                           precise=precise),
         grid=(t,),
         in_specs=[
@@ -454,14 +471,16 @@ def _native_pallas_b1_2d(vps, dx, dy, a, ratios, *, precise=False,
     )(sel, dx, dy, a, *vps)
 
 
-def _native_vmem_mb(h, w, c, kp, vshapes, ratios,
+def _native_vmem_mb(h, w, c, kp, vshapes, inkernel_ratios,
                     vol_bytes=2, comp_bytes=2) -> float:
     """Double-buffered VMEM working set of the native kernel in MB,
-    including the repeated-plane temporaries."""
+    including the repeated-plane temporaries.  ``vshapes`` are the
+    PRE-repeated padded plane sizes; ``inkernel_ratios`` the residual
+    in-kernel repeat factors (full ratio / pre-repeat)."""
     vp = sum((hv) * (wv) * c * vol_bytes for hv, wv in vshapes)
     rep = max(
         (hv * r) * wv * c * 4 + h * (wv * r) * c * 4
-        for (hv, wv), r in zip(vshapes, ratios)
+        for (hv, wv), r in zip(vshapes, inkernel_ratios)
     )
     comps = 3 * len(vshapes) * h * w * kp * comp_bytes
     out = h * w * c * 4
@@ -487,12 +506,12 @@ def windowed_blend_native(
     Levels coarser than or equal to the query grid (integer dyadic ratio)
     take the Pallas kernel; finer levels (their contribution is only a
     query-grid-sized output) take the XLA oracle.  Mosaic compile time
-    explodes with the repeat ratio (kernel-only, measured on TPU at the
-    AVA shapes: 2d r<=4 compiles in 18 s, r<=8 in 275 s; 3d r<=2 in
-    ~2 min, r<=8 blew past 27 min), so the kernel takes ratios <= 4 for
-    the 2d window and <= 2 for 3d; coarser levels route to the XLA
-    oracle — their native planes are tiny (<= 10 KB at AVA), so the
-    traffic win of keeping them in-kernel is negligible anyway.
+    explodes with the IN-KERNEL repeat ratio (kernel-only, measured on
+    TPU at the AVA shapes: 2d r<=4 compiles in 18 s, r<=8 in 275 s; 3d
+    r<=2 in ~2 min, r<=8 blew past 27 min), so coarse levels are
+    spatially PRE-repeated in XLA (nearest repeat composes exactly) down
+    to an in-kernel residual of <= _NATIVE_INKERNEL_CAP — every dyadic
+    coarser level takes the kernel regardless of ratio.
     Backward is the XLA oracle's VJP via custom_vjp.
     """
     from .fast_deform import native_blend_level
@@ -506,20 +525,21 @@ def windowed_blend_native(
         ok = (
             h % hv == 0 and w % wv == 0 and h // hv == w // wv
             and (h // hv) & (h // hv - 1) == 0
-            and h // hv <= (4 if dt is None else 2)
         )
         (kernel_levels if ok else xla_levels).append(j)
 
     out = None
     ph, pw = (-h) % 8, (-w) % 8
     t_reads = 1 if dt is None else 3
+    kl_ratios = [h // values[j].shape[2] for j in kernel_levels]
+    kl_pres = [max(1, r // _NATIVE_INKERNEL_CAP) for r in kl_ratios]
     pallas_ok = (
         use_pallas and nh == 8 and c % 256 == 0 and kernel_levels
         and _native_vmem_mb(
             h + ph, w + pw, c, dx.shape[-1],
-            [(values[j].shape[2] + 4, values[j].shape[3] + 4)
-             for j in kernel_levels],
-            [h // values[j].shape[2] for j in kernel_levels],
+            [((values[j].shape[2] + 4) * pre, (values[j].shape[3] + 4) * pre)
+             for j, pre in zip(kernel_levels, kl_pres)],
+            [r // pre for r, pre in zip(kl_ratios, kl_pres)],
             t_reads * values[0].dtype.itemsize, dx.dtype.itemsize,
         ) <= 96.0
     )
@@ -548,27 +568,42 @@ def windowed_blend_native(
     return out
 
 
+# Mosaic compile time explodes with the IN-KERNEL nearest-repeat unroll
+# ratio (measured: 18 s at r<=4 vs 275 s at r=8 on the 2d AVA grid-0
+# shape; 3d worse).  Levels with a larger query/native ratio are
+# pre-repeated in XLA down to this residual factor — nearest repeat
+# composes exactly, and the pre-repeated coarse planes are tiny
+# (level 3 at AVA grid 0: 8x10 -> 32x40, ~5 MB bf16 per layer).
+_NATIVE_INKERNEL_CAP = 2
+
+
+def _pre_repeat_spatial(v, r1, h_axis, w_axis):
+    if r1 == 1:
+        return v
+    return jnp.repeat(jnp.repeat(v, r1, axis=h_axis), r1, axis=w_axis)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _native_blend2d_pallas_entry(vols, dx, dy, a, hw, precise, interpret):
     h, w = hw
     ph, pw = (-h) % 8, (-w) % 8
     ratios = tuple(h // v.shape[2] for v in vols)
+    pres = tuple(max(1, r // _NATIVE_INKERNEL_CAP) for r in ratios)
     vps = []
-    for v, r in zip(vols, ratios):
+    for v, r, pre in zip(vols, ratios, pres):
         # pad 2 cells each side for the 4-tap window, plus enough extra on
         # the high side that the repeated plane covers the 8-padded query
         # grid: r*(Nv+4+e) >= (N+pad) + 4r - r//2 with r*Nv == N
         eh = max(0, -(-(ph - r // 2) // r))
         ew = max(0, -(-(pw - r // 2) // r))
-        vps.append(jnp.pad(
-            v, [(0, 0), (0, 0), (2, 2 + eh), (2, 2 + ew), (0, 0)]
-        ))
+        vp = jnp.pad(v, [(0, 0), (0, 0), (2, 2 + eh), (2, 2 + ew), (0, 0)])
+        vps.append(_pre_repeat_spatial(vp, pre, 2, 3))
     comps = (dx, dy, a)
     if ph or pw:
         grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
         comps = tuple(jnp.pad(x, grid_pad) for x in comps)
     fn = functools.partial(
-        _native_pallas_b1_2d, ratios=ratios, precise=precise,
+        _native_pallas_b1_2d, ratios=ratios, pres=pres, precise=precise,
         interpret=interpret,
     )
     out = jax.vmap(lambda vs, dxx, dyy, aa: fn(vs, dxx, dyy, aa))(
@@ -610,19 +645,19 @@ def _native_blend3d_pallas_entry(vols, dx, dy, dt, a, hw, precise,
     h, w = hw
     ph, pw = (-h) % 8, (-w) % 8
     ratios = tuple(h // v.shape[2] for v in vols)
+    pres = tuple(max(1, r // _NATIVE_INKERNEL_CAP) for r in ratios)
     vps = []
-    for v, r in zip(vols, ratios):
+    for v, r, pre in zip(vols, ratios, pres):
         eh = max(0, -(-(ph - r // 2) // r))
         ew = max(0, -(-(pw - r // 2) // r))
-        vps.append(jnp.pad(
-            v, [(0, 0), (1, 1), (2, 2 + eh), (2, 2 + ew), (0, 0)]
-        ))
+        vp = jnp.pad(v, [(0, 0), (1, 1), (2, 2 + eh), (2, 2 + ew), (0, 0)])
+        vps.append(_pre_repeat_spatial(vp, pre, 2, 3))
     comps = (dx, dy, dt, a)
     if ph or pw:
         grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
         comps = tuple(jnp.pad(x, grid_pad) for x in comps)
     fn = functools.partial(
-        _native_pallas_b1_3d, ratios=ratios, precise=precise,
+        _native_pallas_b1_3d, ratios=ratios, pres=pres, precise=precise,
         interpret=interpret,
     )
     out = jax.vmap(lambda vs, dxx, dyy, dtt, aa: fn(vs, dxx, dyy, dtt, aa))(
