@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""End-to-end eval-loop throughput: loader -> forward -> postprocess ->
+txt protocol (the user-visible metric; round-2 verdict item 6).
+
+bench.py times the model forward alone; the reference's eval loop
+(/root/reference/utils/video_action_recognition.py:95-245) additionally
+pays host-side postprocessing and the per-rank txt protocol every batch.
+This harness drives ``engine.evaluate.run_validation`` — the REAL eval
+loop, including its 1-step pipelined dispatch — over a synthetic
+in-memory AVA loader (flagship shapes, random weights; the mAP stage is
+skipped by running as rank 1, exactly like a non-zero rank in
+multi-host eval) and reports e2e clips/s next to the model-only number.
+
+Usage: python scripts/bench_e2e_eval.py [--clips 64] [--batch 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_ava_loader(n_batches, batch, t, h, w, nq=15, n_gt=3):
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(n_batches):
+        pixels = rng.normal(size=(batch, t, h, w, 3)).astype(np.float32)
+        mask = np.zeros((batch, h, w), bool)
+        meta = []
+        for b in range(batch):
+            raw = np.zeros((n_gt, 6), np.float32)
+            raw[:, 2:6] = rng.uniform(0.1, 0.9, size=(n_gt, 4))
+            labels = [
+                rng.integers(1, 80, size=(rng.integers(1, 3),)).tolist()
+                for _ in range(n_gt)
+            ]
+            meta.append({
+                "image_id": [f"vid{i:04d},{b:04d}"],
+                "size": np.asarray([h, w], np.float32),
+                "raw_boxes": raw,
+                "labels": labels,
+            })
+        batches.append(({"pixels": pixels, "mask": mask}, meta))
+    return batches
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--config", default="AVA22_ViT-B_fast.yaml")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from class_query_vad_tpu.config import get_cfg_custom
+    from class_query_vad_tpu.engine.evaluate import run_validation
+    from class_query_vad_tpu.losses import (
+        build_criterion_and_postprocessor,
+        build_matcher,
+    )
+    from class_query_vad_tpu.models import build_model
+    from class_query_vad_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_cfg_custom(os.path.join(root, "configuration", args.config))
+    cfg.defrost()
+    cfg.CONFIG.LOG.BASE_PATH = "/tmp/e2e_eval_bench"
+    cfg.CONFIG.LOG.RES_DIR = "res"
+    cfg.freeze()
+
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    _, postprocess, _ = build_criterion_and_postprocessor(
+        cfg, build_matcher(cfg))
+
+    B, T, H, W = args.batch, 16, 256, 320
+    n_batches = max(1, args.clips // B)
+    data = synthetic_ava_loader(n_batches, B, T, H, W,
+                                nq=cfg.CONFIG.MODEL.QUERY_NUM)
+
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.PRNGKey(0),
+        jnp.asarray(data[0][0]["pixels"]), jnp.asarray(data[0][0]["mask"]),
+        True,
+    )
+
+    # warm both jits (forward + postprocess) through one tiny run
+    run_validation(cfg, model, params, postprocess, data[:2], rank=1)
+
+    t0 = time.perf_counter()
+    run_validation(cfg, model, params, postprocess, data, rank=1)
+    dt = time.perf_counter() - t0
+    clips = n_batches * B
+    print(json.dumps({
+        "metric": "ava_vitb_e2e_eval_clips_per_sec",
+        "value": round(clips / dt, 2),
+        "unit": "clips/s",
+        "clips": clips,
+        "ms_per_clip": round(1000 * dt / clips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
