@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    # default: CPU (deterministic, no tunnel dependency); pass --tpu to run
+    # on the attached chip — the exact encoder's gathers make the 2x400
+    # tiny-config epochs ~13 h on this 1-core host but minutes on-chip
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -174,7 +178,8 @@ def run(root, encoder_type, epochs):
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    args = [a for a in sys.argv[1:] if a != "--tpu"]
+    epochs = int(args[0]) if args else 400
     import tempfile
 
     with tempfile.TemporaryDirectory() as root:
