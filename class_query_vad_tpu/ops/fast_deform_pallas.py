@@ -574,7 +574,7 @@ def windowed_blend_native(
 # pre-repeated in XLA down to this residual factor — nearest repeat
 # composes exactly, and the pre-repeated coarse planes are tiny
 # (level 3 at AVA grid 0: 8x10 -> 32x40, ~5 MB bf16 per layer).
-_NATIVE_INKERNEL_CAP = 2
+_NATIVE_INKERNEL_CAP = 1
 
 
 def _pre_repeat_spatial(v, r1, h_axis, w_axis):
@@ -602,13 +602,20 @@ def _native_blend2d_pallas_entry(vols, dx, dy, a, hw, precise, interpret):
     if ph or pw:
         grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
         comps = tuple(jnp.pad(x, grid_pad) for x in comps)
-    fn = functools.partial(
-        _native_pallas_b1_2d, ratios=ratios, pres=pres, precise=precise,
-        interpret=interpret,
-    )
-    out = jax.vmap(lambda vs, dxx, dyy, aa: fn(vs, dxx, dyy, aa))(
-        tuple(vps), *comps
-    )
+    # ONE pallas_call PER LEVEL, summed in XLA: the combined 4-level
+    # kernel exceeds Mosaic's scheduling budget at the AVA grid-0 shape
+    # (compile helper dies; 3 levels compile in 25 s, each single level
+    # in ~10 s) and the extra fp32 partial-sum traffic is ~0.1 ms/layer
+    out = None
+    for j in range(len(vps)):
+        fn = functools.partial(
+            _native_pallas_b1_2d, ratios=ratios[j : j + 1],
+            pres=pres[j : j + 1], precise=precise, interpret=interpret,
+        )
+        o = jax.vmap(lambda vs, dxx, dyy, aa: fn(vs, dxx, dyy, aa))(
+            (vps[j],), *(x[:, j : j + 1] for x in comps)
+        )
+        out = o if out is None else out + o
     if ph or pw:
         out = out[:, :, :h, :w]
     return out
@@ -656,13 +663,17 @@ def _native_blend3d_pallas_entry(vols, dx, dy, dt, a, hw, precise,
     if ph or pw:
         grid_pad = [(0, 0), (0, 0), (0, 0), (0, ph), (0, pw), (0, 0)]
         comps = tuple(jnp.pad(x, grid_pad) for x in comps)
-    fn = functools.partial(
-        _native_pallas_b1_3d, ratios=ratios, pres=pres, precise=precise,
-        interpret=interpret,
-    )
-    out = jax.vmap(lambda vs, dxx, dyy, dtt, aa: fn(vs, dxx, dyy, dtt, aa))(
-        tuple(vps), *comps
-    )
+    # per-level pallas_calls summed in XLA (see the 2d entry's rationale)
+    out = None
+    for j in range(len(vps)):
+        fn = functools.partial(
+            _native_pallas_b1_3d, ratios=ratios[j : j + 1],
+            pres=pres[j : j + 1], precise=precise, interpret=interpret,
+        )
+        o = jax.vmap(
+            lambda vs, dxx, dyy, dtt, aa: fn(vs, dxx, dyy, dtt, aa)
+        )((vps[j],), *(x[:, j : j + 1] for x in comps))
+        out = o if out is None else out + o
     if ph or pw:
         out = out[:, :, :h, :w]
     return out
