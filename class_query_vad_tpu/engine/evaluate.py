@@ -15,6 +15,7 @@ Reference semantics (/root/reference/utils/video_action_recognition.py):
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from typing import Callable, Dict, List
 
@@ -91,6 +92,27 @@ def buffer_frames(buffers: EvalBuffers, scores, boxes, binary, meta,
                 )
 
 
+@_functools.lru_cache(maxsize=4)
+def _default_forward(model):
+    return jax.jit(lambda p, px, mk: model.apply(p, px, mk, True))
+
+
+@_functools.lru_cache(maxsize=8)
+def _jit_postprocess(postprocess):
+    return jax.jit(postprocess)
+
+
+@_functools.lru_cache(maxsize=8)
+def _jit_loss(criterion):
+    target_keys = ("boxes", "labels", "n_boxes", "frame_valid", "n_actors")
+
+    def _loss(out, batch):
+        targets = {k: batch[k] for k in target_keys if k in batch}
+        return criterion(out, targets, evaluation=True)
+
+    return jax.jit(_loss)
+
+
 def run_validation(
     cfg,
     model,
@@ -102,11 +124,21 @@ def run_validation(
     barrier: Callable = lambda: None,
     forward_fn=None,
     criterion: Callable = None,
+    transfer_dtype=None,
 ):
     """Returns (mAP, metrics[, v_mAP]) on rank 0; ({}, ...) elsewhere.
 
     When ``criterion`` is given, eval losses are computed for logging and a
     non-finite total aborts (reference video_action_recognition.py:210-213).
+
+    ``transfer_dtype``: ship pixels host->device in this dtype (set it to
+    the model's compute dtype, e.g. bf16 under AMP serving — the backbone
+    casts pixels there as its first op, so the function is UNCHANGED and
+    the transfer halves).  Matters enormously through this environment's
+    remote-TPU tunnel, whose transfers run ~60x below line rate while
+    compute is in flight (measured: 15.7 MB fp32 batch ~1.2 s interleaved
+    vs 36 ms idle; bf16 pipelined 317 ms); on a production PCIe host it
+    is a minor PCIe-traffic saving.
     """
     import math
     import time as _time
@@ -116,21 +148,15 @@ def run_validation(
     res_dir = os.path.join(cfg.CONFIG.LOG.BASE_PATH, cfg.CONFIG.LOG.RES_DIR)
     buffers = EvalBuffers()
 
+    # jits are MEMOIZED on their defining objects: a fresh jax.jit wrapper
+    # per run_validation call re-traces and re-loads the persistent
+    # compile cache on its first batch — measured ~2 s/batch of phantom
+    # cost over a 32-batch synthetic eval (scripts/bench_e2e_eval.py),
+    # and training calls this every eval epoch
     if forward_fn is None:
-        forward_fn = jax.jit(
-            lambda p, px, mk: model.apply(p, px, mk, True),
-            static_argnums=(),
-        )
-    post_fn = jax.jit(postprocess)
-    loss_fn = None
-    if criterion is not None:
-        target_keys = ("boxes", "labels", "n_boxes", "frame_valid", "n_actors")
-
-        def _loss(out, batch):
-            targets = {k: batch[k] for k in target_keys if k in batch}
-            return criterion(out, targets, evaluation=True)
-
-        loss_fn = jax.jit(_loss)
+        forward_fn = _default_forward(model)
+    post_fn = _jit_postprocess(postprocess)
+    loss_fn = _jit_loss(criterion) if criterion is not None else None
 
     t_start = _time.time()
     n_batches = 0
@@ -159,9 +185,14 @@ def run_validation(
     # the device BEFORE batch k's outputs are materialized, so the
     # host-side buffering (and this environment's ~24 ms tunnel round trip
     # per transfer) overlaps device compute instead of serializing with it
+    tdt = jnp.dtype(transfer_dtype) if transfer_dtype is not None else None
     pending = None
     for batch, meta in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "pixels"}
+        px = batch["pixels"]
+        if tdt is not None and np.asarray(px).dtype != tdt:
+            px = np.asarray(px).astype(tdt)
+        jb["pixels"] = jnp.asarray(px)
         out = forward_fn(params, jb["pixels"], jb["mask"])
         losses_dev = loss_fn(out, jb) if loss_fn is not None else None
         sizes = jnp.asarray(

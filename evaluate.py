@@ -144,7 +144,9 @@ def main():
     with profile_ctx:
         result = run_validation(cfg, model, params, postprocess, loader,
                                 rank=rank, world_size=world, barrier=barrier,
-                                criterion=criterion)
+                                criterion=criterion,
+                                transfer_dtype=(jnp.bfloat16 if dtype
+                                                == jnp.bfloat16 else None))
     if result is not None:
         line = {"mAP": result["mAP"], "time": time.time() - t0}
         if "v_mAP" in result:

@@ -199,6 +199,8 @@ def main():
                 cfg, model, jax.device_get(state.params), postprocess,
                 val_loader, rank=rank, world_size=world, barrier=barrier,
                 criterion=criterion,
+                transfer_dtype=(jnp.bfloat16 if dtype == jnp.bfloat16
+                                else None),
             )
             if result is not None:
                 best_map = max(best_map, result["mAP"])
