@@ -107,7 +107,11 @@ def make_optimizer(lr, grad_accum: int = 1, clip_norm: float = 1.0,
 def create_train_state(model, cfg, rng, sample_batch,
                        steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
     params_rng, dropout_rng = jax.random.split(rng)
-    params = model.init(
+    # jit both inits: eagerly they dispatch one op per parameter tensor,
+    # which is fine on a local device but takes SECONDS PER OP through
+    # this environment's remote-TPU tunnel (CLAUDE.md) — an unjitted
+    # flagship init stalls for many minutes before the first train step.
+    params = jax.jit(model.init, static_argnums=(3,))(
         params_rng, jnp.asarray(sample_batch["pixels"]),
         jnp.asarray(sample_batch["mask"]), True,
     )
@@ -140,7 +144,7 @@ def create_train_state(model, cfg, rng, sample_batch,
         TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            opt_state=jax.jit(tx.init)(params),
             dropout_rng=dropout_rng,
         ),
         tx,
