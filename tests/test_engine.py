@@ -146,3 +146,47 @@ def test_lr_policy_schedules():
     st = tx.init(params)
     upd, st = tx.update({"w": jnp.ones((3,))}, st, params)
     assert np.isfinite(np.asarray(upd["w"])).all()
+
+
+def test_run_validation_jits_are_memoized():
+    """run_validation's jits are memoized on their defining objects —
+    a fresh jax.jit per call re-traces and re-loads the persistent
+    compile cache every eval epoch (measured ~2 s/batch of phantom cost,
+    PERF.md 'End-to-end eval loop')."""
+    from class_query_vad_tpu.engine.evaluate import (
+        _default_forward,
+        _jit_loss,
+        _jit_postprocess,
+    )
+    from class_query_vad_tpu.models import build_model
+    from class_query_vad_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    model = build_model(cfg)
+    assert _default_forward(model) is _default_forward(model)
+
+    def post(out, sizes):
+        return out
+
+    def crit(out, targets, evaluation=False):
+        return {"total_loss": jnp.zeros(())}
+
+    assert _jit_postprocess(post) is _jit_postprocess(post)
+    assert _jit_loss(crit) is _jit_loss(crit)
+
+
+def test_bf16_pixel_shipping_is_exact():
+    """run_validation(transfer_dtype=bf16) claims exactness because a bf16
+    model's first backbone op casts pixels to bf16 anyway — so casting on
+    the HOST before transfer must be bit-identical.  Pin that on the ViT
+    patch embed at flagship-like values."""
+    from class_query_vad_tpu.models.vit import ViT
+
+    vit = ViT(embed_dim=32, depth=1, num_heads=2, patch_size=8,
+              tubelet_size=2, num_frames=4, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    px32 = (rng.normal(size=(1, 4, 16, 16, 3)) * 3).astype(np.float32)
+    params = vit.init(jax.random.PRNGKey(0), jnp.asarray(px32), True)
+    a = vit.apply(params, jnp.asarray(px32), True)
+    b = vit.apply(params, jnp.asarray(px32.astype(jnp.bfloat16)), True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
