@@ -36,11 +36,10 @@ import numpy as np
 A100_REFERENCE_CLIPS_PER_SEC = 45.0
 
 
-def _probe_tpu(attempts: int = 3, probe_timeout: int = 90) -> None:
-    """Fail fast (exit 2) when the axon tunnel is down: backend init then
-    HANGS ignoring SIGTERM (observed 8+ h outage on 2026-08-18), which
-    would stall the whole benchmark run.  Probe in a subprocess with a
-    hard kill."""
+def _probe_once(probe_timeout: int = 90) -> bool:
+    """One subprocess TPU probe with a hard kill.  When the axon tunnel is
+    down, backend init HANGS ignoring SIGTERM (observed 8+ h outage on
+    2026-08-18), so the probe must run in its own process group."""
     import signal
     import subprocess
     import tempfile
@@ -48,28 +47,64 @@ def _probe_tpu(attempts: int = 3, probe_timeout: int = 90) -> None:
     code = ("import jax, numpy as np; x = jax.numpy.ones((8, 8)); "
             "print('PROBE_OK', float(np.asarray(x @ x)[0, 0]), "
             "jax.devices()[0].platform)")
-    for i in range(attempts):
-        # no pipes (the axon plugin's helper grandchildren keep them open
-        # past a kill, hanging communicate()) and kill the whole process
-        # group on timeout
-        with tempfile.TemporaryFile() as out:
-            proc = subprocess.Popen(
-                [sys.executable, "-c", code], stdout=out,
-                stderr=subprocess.DEVNULL, start_new_session=True,
-            )
-            try:
-                proc.wait(timeout=probe_timeout)
-            except subprocess.TimeoutExpired:
-                os.killpg(proc.pid, signal.SIGKILL)
-                proc.wait()
-            out.seek(0)
-            if b"PROBE_OK 8.0" in out.read():
-                return
-        print(f"bench: TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
-        time.sleep(30)
-    print("bench: TPU backend unavailable (axon tunnel down) — aborting "
-          "instead of hanging", file=sys.stderr)
-    sys.exit(2)
+    # no pipes (the axon plugin's helper grandchildren keep them open
+    # past a kill, hanging communicate()) and kill the whole process
+    # group on timeout
+    with tempfile.TemporaryFile() as out:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code], stdout=out,
+            stderr=subprocess.DEVNULL, start_new_session=True,
+        )
+        try:
+            proc.wait(timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+        out.seek(0)
+        return b"PROBE_OK 8.0" in out.read()
+
+
+def probe_with_retry(probe_once, budget_s: float, *,
+                     sleep=time.sleep, monotonic=time.monotonic,
+                     log=lambda msg: print(msg, file=sys.stderr),
+                     first_sleep_s: float = 15.0,
+                     max_sleep_s: float = 300.0) -> bool:
+    """Retry ``probe_once`` with exponential backoff until it returns True
+    or ``budget_s`` elapses.  Returns success.
+
+    Policy (round-3 verdict item: a 6-minute give-up zeroed a whole
+    round's scored number while CLAUDE.md documents outages lasting
+    HOURS): the probe itself is cheap and the driver's bench capture runs
+    ONCE per round, so polling for up to ~an hour costs far less than a
+    missed headline.  The hard abort stays for the truly-down case.
+    """
+    start = monotonic()
+    attempt, delay = 0, first_sleep_s
+    while True:
+        attempt += 1
+        if probe_once():
+            if attempt > 1:
+                log(f"bench: TPU probe succeeded on attempt {attempt} "
+                    f"({monotonic() - start:.0f}s into the retry budget)")
+            return True
+        elapsed = monotonic() - start
+        if elapsed + delay > budget_s:
+            log(f"bench: TPU probe gave up after {attempt} attempts / "
+                f"{elapsed:.0f}s (budget {budget_s:.0f}s)")
+            return False
+        log(f"bench: TPU probe attempt {attempt} failed at {elapsed:.0f}s; "
+            f"retrying in {delay:.0f}s")
+        sleep(delay)
+        delay = min(delay * 2, max_sleep_s)
+
+
+def _probe_tpu() -> None:
+    """Fail (exit 2) only after the full retry budget is exhausted."""
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", 3300))
+    if not probe_with_retry(_probe_once, budget):
+        print("bench: TPU backend unavailable (axon tunnel down) — "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.exit(2)
 
 
 def main():
