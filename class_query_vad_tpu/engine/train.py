@@ -51,12 +51,23 @@ def backbone_freeze_labels(params, cfg):
     Frozen parameters get optax.set_to_zero() via multi_transform, so they
     also skip AdamW weight decay and the global-norm clip — matching
     requires_grad=False (no grad, no decay) in the reference.
+
+    BatchNorm running statistics (CSN buffers, held in the param tree) are
+    ALWAYS frozen: torch registers them as buffers — never optimized, never
+    weight-decayed.  Without this, AdamW's decay would corrupt the
+    pretrained statistics every step.
     """
     tune = int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0))
+    tune_active = (bool(cfg.CONFIG.MODEL.get("PRETRAINED", False))
+                   and tune > 0)
     bb = cfg.CONFIG.MODEL.BACKBONE_NAME
 
     def is_frozen(path) -> bool:
         keys = [getattr(k, "key", str(k)) for k in path]
+        if keys and keys[-1] in ("running_mean", "running_var"):
+            return True
+        if not tune_active:
+            return False
         if "backbone" not in keys:
             return False
         sub = keys[keys.index("backbone") + 1 :]
@@ -104,24 +115,38 @@ def make_optimizer(lr, grad_accum: int = 1, clip_norm: float = 1.0,
     return tx
 
 
-def create_train_state(model, cfg, rng, sample_batch,
-                       steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
-    params_rng, dropout_rng = jax.random.split(rng)
-    # jit both inits: eagerly they dispatch one op per parameter tensor,
+@functools.lru_cache(maxsize=8)
+def _jitted_model_init(model):
+    # jit the inits: eagerly they dispatch one op per parameter tensor,
     # which is fine on a local device but takes SECONDS PER OP through
     # this environment's remote-TPU tunnel (CLAUDE.md) — an unjitted
     # flagship init stalls for many minutes before the first train step.
-    params = jax.jit(model.init, static_argnums=(3,))(
+    # Memoized so multi-state processes reuse one trace (same pattern as
+    # engine.evaluate's memoized forward jits).
+    return jax.jit(model.init, static_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_tx_init(tx):
+    return jax.jit(tx.init)
+
+
+def create_train_state(model, cfg, rng, sample_batch,
+                       steps_per_epoch: int = 0) -> Tuple[TrainState, optax.GradientTransformation]:
+    params_rng, dropout_rng = jax.random.split(rng)
+    params = _jitted_model_init(model)(
         params_rng, jnp.asarray(sample_batch["pixels"]),
         jnp.asarray(sample_batch["mask"]), True,
     )
-    freeze = None
-    if (cfg.CONFIG.MODEL.get("PRETRAINED", False)
-            and int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0)) > 0):
-        # reference freezes only inside pretrained-weight loading
-        freeze = backbone_freeze_labels(params, cfg)
-        leaves = jax.tree_util.tree_leaves(freeze)
-        n_frozen = sum(1 for l in leaves if l == "frozen")
+    # always computed: BN buffers are frozen unconditionally; tune_point
+    # stage freezing activates only with pretrained loading (the reference
+    # freezes inside load_pretrain)
+    freeze = backbone_freeze_labels(params, cfg)
+    leaves = jax.tree_util.tree_leaves(freeze)
+    n_frozen = sum(1 for l in leaves if l == "frozen")
+    if n_frozen == 0:
+        freeze = None
+    elif int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0)) > 0:
         print(
             f"tune_point={cfg.CONFIG.MODEL.TUNE_POINT}: freezing "
             f"{n_frozen}/{len(leaves)} parameter tensors in the backbone"
@@ -144,7 +169,7 @@ def create_train_state(model, cfg, rng, sample_batch,
         TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=jax.jit(tx.init)(params),
+            opt_state=_jitted_tx_init(tx)(params),
             dropout_rng=dropout_rng,
         ),
         tx,

@@ -106,7 +106,8 @@ class ViTBackboneFPN(nn.Module):
         # pixels: [B, T, H, W, 3]; mask: [B, H, W] (True = padded)
         tokens = build_vit(
             self.spec.vit, dtype=self.dtype, name="body",
-            remat=self.spec.gradient_checkpointing,
+            remat=(self.spec.gradient_checkpointing
+                   or self.spec.vit.use_checkpoint),
         )(pixels, deterministic)
         embed_dim = tokens.shape[-1]
 

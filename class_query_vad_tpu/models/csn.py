@@ -33,37 +33,66 @@ class Affine(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        del train
         w = self.param("weight", nn.initializers.normal(1.0), (self.features,))
         b = self.param("bias", nn.initializers.normal(1.0), (self.features,))
         return x * w.astype(self.dtype) + b.astype(self.dtype)
 
 
-class FrozenBatchNorm(nn.Module):
-    """BatchNorm3d in inference form (build_CSN passes use_affine=False —
-    ir_CSN_152.py:352; eps=1e-3 :18).  Running statistics are parameters
-    applied frozen; the reference updates them during training but DETR
-    fine-tuning regimes conventionally freeze them."""
+class CSNBatchNorm(nn.Module):
+    """BatchNorm3d (build_CSN passes use_affine=False — ir_CSN_152.py:352;
+    eps=1e-3 :18).
+
+    * ``train=False``: inference form — normalize by the stored running
+      statistics (torch eval semantics).
+    * ``train=True``: normalize by the CURRENT BATCH statistics (biased
+      variance), exactly torch's train-mode forward/backward — this is the
+      part that shapes training gradients and it now matches the reference
+      (round-3 verdict item 7; pinned by tests/test_csn_bn.py against a
+      torch BatchNorm3d oracle).
+
+    Pinned deviation: the running statistics are NOT updated during
+    training (they are buffers held in the param tree for converter/
+    checkpoint simplicity; engine.train excludes them from the optimizer so
+    they keep their pretrained values — the standard frozen-BN fine-tuning
+    convention).  The reference's momentum-0.1 running update would drift
+    them toward the fine-tuning data; documented in PERF.md.
+    """
 
     features: int
     eps: float = 1e-3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         w = self.param("weight", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         rm = self.param("running_mean", nn.initializers.zeros, (self.features,))
         rv = self.param("running_var", nn.initializers.ones, (self.features,))
-        scale = (w / jnp.sqrt(rv + self.eps)).astype(self.dtype)
-        bias = (b - rm * (w / jnp.sqrt(rv + self.eps))).astype(self.dtype)
+        if train:
+            # batch statistics over (B, T, H, W) in fp32 (torch accumulates
+            # in fp32 regardless of input dtype); biased variance
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            var = jnp.square(xf).mean(axes) - jnp.square(mean)
+            scale = (w / jnp.sqrt(var + self.eps)).astype(self.dtype)
+            bias = (b - mean * (w / jnp.sqrt(var + self.eps))).astype(self.dtype)
+        else:
+            scale = (w / jnp.sqrt(rv + self.eps)).astype(self.dtype)
+            bias = (b - rm * (w / jnp.sqrt(rv + self.eps))).astype(self.dtype)
         return x * scale + bias
+
+
+#: backwards-compat alias (the inference path is unchanged)
+FrozenBatchNorm = CSNBatchNorm
 
 
 def _make_norm(use_affine: bool, features: int, dtype, name: str):
     if use_affine:
         return Affine(features, dtype, name=name)
-    return FrozenBatchNorm(features, dtype=dtype, name=name)
+    return CSNBatchNorm(features, dtype=dtype, name=name)
 
 
 class CSNBottleneck(nn.Module):
@@ -76,7 +105,7 @@ class CSNBottleneck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         p = self.planes
         conv = lambda feats, ks, strides, pad, name, groups=1: nn.Conv(
             feats, ks, strides=strides, padding=pad, use_bias=False,
@@ -84,17 +113,19 @@ class CSNBottleneck(nn.Module):
         )
         residual = x
         out = conv(p, (1, 1, 1), (1, 1, 1), 0, "conv1")(x)
-        out = _make_norm(self.use_affine, p, self.dtype, "bn1")(out)
+        out = _make_norm(self.use_affine, p, self.dtype, "bn1")(out, train)
         out = nn.relu(out)
         out = conv(
             p, (3, 3, 3),
             (self.temporal_stride, self.stride, self.stride), 1, "conv3",
             groups=p,
         )(out)
-        out = _make_norm(self.use_affine, p, self.dtype, "bn3")(out)
+        out = _make_norm(self.use_affine, p, self.dtype, "bn3")(out, train)
         out = nn.relu(out)
         out = conv(p * self.expansion, (1, 1, 1), (1, 1, 1), 0, "conv4")(out)
-        out = _make_norm(self.use_affine, p * self.expansion, self.dtype, "bn4")(out)
+        out = _make_norm(
+            self.use_affine, p * self.expansion, self.dtype, "bn4"
+        )(out, train)
         if self.has_downsample:
             residual = conv(
                 p * self.expansion, (1, 1, 1),
@@ -103,7 +134,7 @@ class CSNBottleneck(nn.Module):
             )(x)
             residual = _make_norm(
                 self.use_affine, p * self.expansion, self.dtype, "down_bn"
-            )(residual)
+            )(residual, train)
         return nn.relu(out + residual)
 
 
@@ -115,12 +146,12 @@ class CSN(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x) -> List[jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         x = nn.Conv(
             64, (3, 7, 7), strides=(1, 2, 2), padding=((1, 1), (3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x.astype(self.dtype))
-        x = _make_norm(self.use_affine, 64, self.dtype, "bn1")(x)
+        x = _make_norm(self.use_affine, 64, self.dtype, "bn1")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (1, 3, 3), strides=(1, 2, 2),
@@ -134,7 +165,8 @@ class CSN(nn.Module):
             (512, 2 if self.last_stride else 1, 2),
         ]
         features = []
-        block_cls = nn.remat(CSNBottleneck) if self.remat else CSNBottleneck
+        block_cls = (nn.remat(CSNBottleneck, static_argnums=(2,))
+                     if self.remat else CSNBottleneck)
         for s, ((planes, stride, t_stride), n_blocks) in enumerate(
             zip(stage_cfg, self.block_nums)
         ):
@@ -147,7 +179,7 @@ class CSN(nn.Module):
                     use_affine=self.use_affine,
                     dtype=self.dtype,
                     name=f"layer{s + 1}_{b}",
-                )(x)
+                )(x, train)
             features.append(x)
         return features
 

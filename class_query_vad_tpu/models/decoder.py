@@ -375,18 +375,28 @@ class TransformerDecoder(nn.Module):
     bbox_embed_diff_each_layer: bool = False
     n_levels: int = 4
     dtype: jnp.dtype = jnp.float32
+    # gradient-checkpoint each loc/cls layer pair (reference checkpoints
+    # decoder pairs under CONFIG.GRADIENT_CHECKPOINTING,
+    # /root/reference/models/detr/dab_transformer.py:765-801).  At JHMDB
+    # T=40 the decoder batch is B*T with a 32x32 conv branch — the
+    # likeliest OOM site for real training.
+    remat: bool = False
 
     def setup(self):
         d = self.d_model
+        loc_cls, cls_cls = LocDecoderLayer, ClsDecoderLayer
+        if self.remat:
+            loc_cls = nn.remat(LocDecoderLayer, static_argnums=(7, 8))
+            cls_cls = nn.remat(ClsDecoderLayer, static_argnums=(6, 7, 8))
         self.layers = [
-            LocDecoderLayer(d, self.nhead, self.dim_feedforward, self.dropout,
-                            self.keep_query_pos, self.n_levels, self.dtype,
-                            name=f"layers_{i}")
+            loc_cls(d, self.nhead, self.dim_feedforward, self.dropout,
+                    self.keep_query_pos, self.n_levels, self.dtype,
+                    name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
         self.cls_layers = [
-            ClsDecoderLayer(d, self.nhead, self.dim_feedforward, self.dropout,
-                            dtype=self.dtype, name=f"cls_layers_{i}")
+            cls_cls(d, self.nhead, self.dim_feedforward, self.dropout,
+                    dtype=self.dtype, name=f"cls_layers_{i}")
             for i in range(self.num_layers)
         ]
         self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")

@@ -109,6 +109,8 @@ class DETR(nn.Module):
             fast_dtype=s.fast_dtype,
             fast_window=s.fast_window,
             fast_cross_level=s.fast_cross_level,
+            eff_slice=s.fast_eff_slice,
+            fast_use_pallas=s.fast_use_pallas,
             decoder_dtype=s.decoder_dtype,
             bbox_embed_diff_each_layer=s.bbox_embed_diff_each_layer,
             remat=s.gradient_checkpointing,
@@ -149,7 +151,9 @@ class DETR(nn.Module):
         else:
             from .backbone import level_masks_and_poses
 
-            feats = self.backbone(pixels)
+            # train-mode BatchNorm uses batch statistics (reference torch
+            # semantics); eval uses the stored running statistics
+            feats = self.backbone(pixels, not deterministic)
             srcs = []
             for l, feat in enumerate(feats[1:]):           # layers 2..4
                 conv, norm = self.input_proj[l]

@@ -25,6 +25,11 @@ class ViTSpec:
     pretrain_img_size: int = 224
     num_frames: int = 16
     drop_path_rate: float = 0.0
+    # ViT per-block gradient checkpointing — the reference defaults this ON
+    # independently of CONFIG.GRADIENT_CHECKPOINTING
+    # (/root/reference/pipelines/video_action_recognition_config.py:175,
+    # /root/reference/models/backbones/vit.py:44).
+    use_checkpoint: bool = True
 
 
 @dataclass(frozen=True)
@@ -48,6 +53,13 @@ class ModelSpec:
     fast_dtype: str = "float32"
     fast_window: str = "3d"
     fast_cross_level: str = "resample"
+    # centre-frame encoder slice (exact; see transformer.DABTransformer
+    # .eff_slice) — MODEL.FAST_EFF_SLICE
+    fast_eff_slice: bool = True
+    # MODEL.FAST_USE_PALLAS=False forces the XLA-oracle blend path (same
+    # function, no Mosaic kernels) — for A/B debugging and tiny shapes
+    # below the kernels' tile minima
+    fast_use_pallas: bool = True
     decoder_type: str = "attention"
     # serving compute dtype for the DAB decoder (Dense/LN/conv matmuls).
     # float32 = the reference's fp32 semantics (parity default); bfloat16
@@ -94,6 +106,8 @@ def spec_from_cfg(cfg) -> ModelSpec:
         fast_dtype=str(m.get("FAST_DTYPE", "float32")),
         fast_window=str(m.get("FAST_WINDOW", "3d")),
         fast_cross_level=str(m.get("FAST_CROSS_LEVEL", "resample")),
+        fast_eff_slice=bool(m.get("FAST_EFF_SLICE", True)),
+        fast_use_pallas=bool(m.get("FAST_USE_PALLAS", True)),
         decoder_type=m.get("DECODER_TYPE", "attention"),
         decoder_dtype=str(m.get("DECODER_DTYPE", "float32")),
         backbone_name=m.BACKBONE_NAME,
@@ -115,5 +129,6 @@ def spec_from_cfg(cfg) -> ModelSpec:
             pretrain_img_size=v.PRETRAIN_IMG_SIZE,
             num_frames=cfg.CONFIG.DATA.TEMP_LEN,
             drop_path_rate=float(v.DROP_PATH_RATE),
+            use_checkpoint=bool(v.USE_CHECKPOINT),
         ),
     )

@@ -158,15 +158,22 @@ class SSMEncoder(nn.Module):
     kind: str = "vssm"
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    # gradient-checkpoint each layer (reference checkpoints encoder layers
+    # under CONFIG.GRADIENT_CHECKPOINTING, dab_transformer.py:468-478)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, src, pos, shape, deterministic: bool = True):
+        layer_cls = SSMEncoderLayer
+        if self.remat:
+            # static: shape(3), return_key(4), key_idx(5), deterministic(6)
+            layer_cls = nn.remat(SSMEncoderLayer, static_argnums=(3, 4, 5, 6))
         out = src
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
-            res = SSMEncoderLayer(
+            res = layer_cls(
                 self.d_model, self.d_ffn, self.kind, self.dropout,
                 self.dtype, name=f"layers_{i}",
-            )(out, pos, shape, return_key=last, deterministic=deterministic)
+            )(out, pos, shape, last, -1, deterministic)
             out = res[0] if last else res
         return out, res[1]

@@ -20,6 +20,7 @@ Parity reference: ``Transformer.forward``
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
@@ -83,6 +84,19 @@ class DABTransformer(nn.Module):
     fast_dtype: str = "float32"          # compute dtype for the fast encoder
     fast_window: str = "3d"              # '3d' (x,y,t taps) or '2d' (x,y)
     fast_cross_level: str = "resample"   # 'resample' | 'native' (see fast_encoder)
+    # Centre-frame encoder slice (single-frame AVA + 2d window only): the
+    # 2d-window fast encoder never mixes time — every stage (value/output
+    # proj, offset/weight heads, spatial-only blend taps, cross-level
+    # alignment, FFN, norms) is per-frame independent — and the decoder
+    # consumes ONLY the centre output frame of the common grid, whose
+    # temporal lerp reads exactly two encoder frames.  Slicing the levels
+    # to those frames BEFORE the encoder is therefore mathematically
+    # identical (and grad-identical: unused frames contribute zero grad)
+    # while cutting encoder tokens T_l/2-fold (4x at AVA: 54,400 -> 13,600).
+    # A dead-code elimination XLA cannot do itself across the opaque Pallas
+    # blend kernels.  Config key MODEL.FAST_EFF_SLICE.
+    eff_slice: bool = True
+    fast_use_pallas: bool = True         # False = XLA-oracle blend path
     decoder_dtype: str = "float32"       # serving dtype for the DAB decoder
     bbox_embed_diff_each_layer: bool = False
     remat: bool = False
@@ -106,7 +120,8 @@ class DABTransformer(nn.Module):
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
                 self.num_feature_levels, self.nhead, self.enc_n_points,
                 self.fast_radius, self.fast_window, self.fast_cross_level,
-                self.dropout, jnp.dtype(self.fast_dtype), remat=self.remat,
+                self.dropout, jnp.dtype(self.fast_dtype),
+                use_pallas=self.fast_use_pallas, remat=self.remat,
                 name="encoder",
             )
         elif self.encoder_type in ("ssm", "vssm"):
@@ -114,7 +129,8 @@ class DABTransformer(nn.Module):
 
             self.encoder = SSMEncoder(
                 self.num_encoder_layers, self.d_model, self.dim_feedforward,
-                self.encoder_type, self.dropout, jnp.float32, name="encoder",
+                self.encoder_type, self.dropout, jnp.float32,
+                remat=self.remat, name="encoder",
             )
         else:
             raise ValueError(f"unknown encoder_type={self.encoder_type}")
@@ -125,6 +141,7 @@ class DABTransformer(nn.Module):
             bbox_embed_diff_each_layer=self.bbox_embed_diff_each_layer,
             n_levels=self.num_feature_levels,
             dtype=jnp.dtype(self.decoder_dtype),
+            remat=self.remat,
             name="decoder",
         )
 
@@ -143,12 +160,23 @@ class DABTransformer(nn.Module):
             # TPU-native windowed encoder works on per-level grids directly;
             # no token flattening or valid-ratio machinery needed.
             fdt = jnp.dtype(self.fast_dtype)
+            plan = self._center_slice_plan(spatial_shapes)
+            if plan is not None:
+                frames = plan[0]
+                _take = lambda x: jnp.concatenate(
+                    [x[:, i : i + 1] for i in frames], axis=1
+                )
+                srcs_e = [_take(s) for s in srcs]
+                poses_e = [_take(p) for p in poses]
+                masks_e = [_take(m) for m in masks]
+            else:
+                srcs_e, poses_e, masks_e = srcs, poses, masks
             pos_levels = [
                 (p + self.level_embed[l]).astype(fdt)
-                for l, p in enumerate(poses)
+                for l, p in enumerate(poses_e)
             ]
             mem_levels = self.encoder(
-                [s.astype(fdt) for s in srcs], pos_levels, masks,
+                [s.astype(fdt) for s in srcs_e], pos_levels, masks_e,
                 deterministic,
             )
             # hand off in the decoder's serving dtype: with a bf16 decoder
@@ -156,6 +184,11 @@ class DABTransformer(nn.Module):
             # interp -> bf16 decoder) was pure HBM traffic
             hdt = jnp.promote_types(jnp.dtype(self.decoder_dtype), fdt)
             mem_levels = [m.astype(hdt) for m in mem_levels]
+            if plan is not None:
+                return self._center_frame_decode(
+                    mem_levels, poses, masks, spatial_shapes,
+                    refpoint_embed, deterministic, plan, fdt, hdt,
+                )
             pos_levels = [p.astype(hdt) for p in pos_levels]
             return self._common_grid_decode(
                 mem_levels, pos_levels, masks, spatial_shapes,
@@ -212,6 +245,72 @@ class DABTransformer(nn.Module):
             mem_levels, pos_levels, masks, spatial_shapes, refpoint_embed,
             deterministic,
         )
+
+    def _center_slice_plan(self, spatial_shapes):
+        """Static plan (frames, weights, transposed2d) for the centre-frame
+        encoder slice, or None when it does not apply.  The weights/frames
+        reproduce make_interpolated_features' temporal math exactly:
+        grid_sample coords on a linspace(-1, 1, temp_len) lattice
+        (resize._grid_coords) for the 3d branch, a direct frame slice (with
+        the reference's transposed 2D resample quirk) when T_l == temp_len.
+        """
+        if not (self.eff_slice and self.single_frame
+                and self.fast_window == "2d"
+                and self.num_feature_levels > 1 and len(spatial_shapes) > 1):
+            return None
+        t_set = {s[0] for s in spatial_shapes}
+        if len(t_set) != 1:
+            return None
+        t_l = t_set.pop()
+        if t_l == 1:
+            return None                        # already single-frame
+        f = self.temp_len // 2
+        if t_l == self.temp_len:
+            return (f,), (1.0,), True
+        g = 0.0 if self.temp_len == 1 else -1.0 + 2.0 * f / (self.temp_len - 1)
+        c = ((g + 1.0) * t_l - 1.0) / 2.0
+        i0 = int(math.floor(c))
+        frac = c - i0
+        i1 = i0 + 1
+        w0 = (1.0 - frac) * (1.0 if 0 <= i0 < t_l else 0.0)
+        w1 = frac * (1.0 if 0 <= i1 < t_l else 0.0)
+        i0c = min(max(i0, 0), t_l - 1)
+        i1c = min(max(i1, 0), t_l - 1)
+        return (i0c, i1c), (w0, w1), False
+
+    def _center_frame_decode(self, mem_levels, poses, masks, spatial_shapes,
+                             refpoint_embed, deterministic, plan, fdt, hdt):
+        """Decode from centre-sliced encoder outputs: apply the temporal
+        lerp weights (exactly grid_resize_3d_at_frame's math on the
+        retained frames) + the spatial resample onto the reference level's
+        grid, then the standard single-frame decode."""
+        frames, fweights, transposed2d = plan
+        ref_lvl = len(spatial_shapes) - 2
+        t_l = spatial_shapes[ref_lvl][0]
+        h, w = spatial_shapes[ref_lvl][1:3]
+        f = self.temp_len // 2
+
+        outs = []
+        for m in mem_levels:                  # [B, n_frames, H_l, W_l, C]
+            if transposed2d:
+                # reference 2D-branch quirk: resample to (w, h) then swap
+                # the spatial axes; dtype stays hdt (no fp32 promotion)
+                outs.append(
+                    jnp.swapaxes(grid_resize_2d(m[:, 0:1], (w, h)), -3, -2)
+                )
+            else:
+                # fp32-promoting lerp, matching p0 * wt0 with fp32 weights
+                wts = jnp.asarray(fweights, jnp.float32)
+                plane = m[:, 0:1] * wts[0] + m[:, 1:2] * wts[1]
+                outs.append(grid_resize_2d(plane, (h, w)))
+
+        pos_common = (
+            (poses[ref_lvl] + self.level_embed[ref_lvl]).astype(fdt)
+            .astype(hdt)[:, f % t_l : f % t_l + 1]
+        )
+        mask_common = masks[ref_lvl][:, f % t_l : f % t_l + 1]
+        return self._decode(outs, pos_common, mask_common, refpoint_embed,
+                            deterministic)
 
     def _common_grid_decode(self, mem_levels, pos_levels, masks,
                             spatial_shapes, refpoint_embed, deterministic):

@@ -62,7 +62,9 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = get_cfg_custom(os.path.join(root, "configuration", args.config))
     if args.remat != "config":
-        cfg.CONFIG.ViT.USE_CHECKPOINT = args.remat == "on"
+        on = args.remat == "on"
+        cfg.CONFIG.GRADIENT_CHECKPOINTING = on   # encoder/decoder/CSN remat
+        cfg.CONFIG.ViT.USE_CHECKPOINT = on       # ViT per-block remat
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     model = build_model(cfg, dtype=dtype)
@@ -87,7 +89,11 @@ def main():
         "n_boxes": jnp.full((B,), min(3, M), jnp.int32),
     }
 
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    # steps_per_epoch: representative value so a non-constant
+    # CONFIG.TRAIN.LR_POLICY builds the same schedule shape training would
+    # (0 would silently fall back to constant LR — different optimizer).
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), batch,
+                                   steps_per_epoch=1000)
     step = jax.jit(make_train_step(model, criterion, weight_dict, tx),
                    donate_argnums=(0,))
 
@@ -110,7 +116,9 @@ def main():
     ms = 1000.0 * windows[len(windows) // 2]
     print(json.dumps({
         "config": args.config, "batch": B, "dtype": args.dtype,
-        "remat": args.remat, "first_step_s": round(compile_s, 1),
+        "remat": args.remat,
+        "lr_policy": cfg.CONFIG.TRAIN.get("LR_POLICY", "constant"),
+        "first_step_s": round(compile_s, 1),
         "ms_per_step": round(ms, 1),
         "clips_per_s": round(1000.0 * B / ms, 2),
         "windows_ms": [round(1000 * w, 1) for w in windows],
