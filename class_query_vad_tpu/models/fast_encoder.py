@@ -153,6 +153,21 @@ class FastDeformAttn3D(nn.Module):
 
         # one fused offset+weight head matmul over the whole stream
         fused = (src_flat + pos_flat) @ head_kernel + head_bias
+        # PER-HEAD max subtraction on the weight-logit lanes, done once
+        # here so every downstream softmax (the XLA path below AND the
+        # fused Pallas kernel, which subtracts the global max of these
+        # already-normalized logits — then exactly 0) sees per-head
+        # denominators >= 1.  A GLOBAL max alone is NOT enough: once
+        # training spreads head logit ranges past ~88 (observed at step
+        # ~78 of the synthetic fast-vs-exact run, lr 1e-3), the low
+        # heads' exp underflows to denormals and the softmax backward's
+        # 1/denom**2 overflows -> NaN params.  Softmax is shift-invariant,
+        # so values are unchanged up to dtype rounding.
+        wl = fused[..., nl * nc * kp:].astype(jnp.float32)
+        lg = wl.reshape(wl.shape[:-1] + (nl, nh, np_))
+        mx = jax.lax.stop_gradient(lg.max(axis=(-3, -1), keepdims=True))
+        wl = (lg - mx).reshape(wl.shape).astype(fused.dtype)
+        fused = jnp.concatenate([fused[..., : nl * nc * kp], wl], axis=-1)
 
         use_pallas = self.use_pallas and jax.default_backend() == "tpu"
         native = self.cross_level == "native"
