@@ -76,6 +76,97 @@ print(f"MULTIHOST_OK rank={pid} total={t}")
 """
 
 
+EVAL_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+sys.path.insert(0, os.path.join(os.environ["REPO"], "tests"))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from class_query_vad_tpu.engine import run_validation
+from class_query_vad_tpu.losses.criterion import postprocess_ava
+from class_query_vad_tpu.parallel import initialize_distributed, sync_hosts
+import synthetic_eval as se
+
+pid = int(os.environ["PROC_ID"])
+initialize_distributed(os.environ["COORD"], 2, pid)
+assert jax.process_count() == 2
+
+cfg = se.make_eval_cfg(os.environ["RES_BASE"], "res")
+batches = se.make_batches()[pid::2]   # contiguous round-robin shard
+
+res = run_validation(
+    cfg, model=None, params={}, postprocess=postprocess_ava,
+    loader=batches, rank=pid, world_size=2,
+    barrier=lambda: sync_hosts("eval_txt"),
+    forward_fn=jax.jit(se.fake_forward),
+)
+if pid == 0:
+    print(f"EVAL_MAP {res['mAP']!r}")
+sync_hosts("eval_done")
+print(f"EVALWORKER_OK rank={pid}")
+"""
+
+
+def test_two_process_txt_merge_matches_single_process(tmp_path):
+    """The reference eval protocol with process_count > 1: each rank
+    writes {rank}.txt / GT_{rank}.txt, barrier, rank 0 merges all ranks'
+    files and computes mAP (video_action_recognition.py:231-261).  The
+    2-process sharded mAP must equal the single-process run bit-for-bit
+    (same detections + GT, just routed through two files)."""
+    import jax
+
+    from class_query_vad_tpu.engine import run_validation
+    from class_query_vad_tpu.losses.criterion import postprocess_ava
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import synthetic_eval as se
+
+    # single-process reference over the full dataset
+    cfg1 = se.make_eval_cfg(tmp_path / "single", "res")
+    ref = run_validation(
+        cfg1, model=None, params={}, postprocess=postprocess_ava,
+        loader=se.make_batches(), rank=0, world_size=1,
+        forward_fn=jax.jit(se.fake_forward),
+    )
+    assert ref["mAP"] > 0.0
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "eval_worker.py"
+    script.write_text(EVAL_WORKER)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["REPO"] = REPO
+    env["COORD"] = f"localhost:{port}"
+    env["RES_BASE"] = str(tmp_path / "multi")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e["PROC_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=e,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=280) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-2000:], err[-3000:])
+        assert "EVALWORKER_OK" in out, out[-2000:]
+    map_line = [l for l in outs[0][0].splitlines() if l.startswith("EVAL_MAP ")]
+    assert map_line, outs[0][0][-2000:]
+    map2 = float(map_line[0].split(" ", 1)[1])
+    assert abs(map2 - ref["mAP"]) < 1e-12, (map2, ref["mAP"])
+    # both ranks' files exist and partition the detections
+    for r in range(2):
+        assert (tmp_path / "multi" / "res" / f"{r}.txt").stat().st_size > 0
+        assert (tmp_path / "multi" / "res" / f"GT_{r}.txt").stat().st_size > 0
+
+
 def test_two_process_mesh_psum_allgather(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
