@@ -27,11 +27,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def synthetic_ava_loader(n_batches, batch, t, h, w, nq=15, n_gt=3):
+def synthetic_ava_loader(n_batches, batch, t, h, w, nq=15, n_gt=3,
+                         raw_hw=None):
+    """raw_hw: when set, pixels are NATIVE-resolution uint8 frames of that
+    size (the device-preprocess path's input) instead of model-ready
+    fp32."""
     rng = np.random.default_rng(0)
     batches = []
     for i in range(n_batches):
-        pixels = rng.normal(size=(batch, t, h, w, 3)).astype(np.float32)
+        if raw_hw is not None:
+            pixels = rng.integers(
+                0, 256, size=(batch, t) + tuple(raw_hw) + (3,), dtype=np.uint8
+            )
+        else:
+            pixels = rng.normal(size=(batch, t, h, w, 3)).astype(np.float32)
         mask = np.zeros((batch, h, w), bool)
         meta = []
         for b in range(batch):
@@ -58,6 +67,12 @@ def main():
     ap.add_argument("--config", default="AVA22_ViT-B_fast.yaml")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="ship NATIVE uint8 frames and run the val pixel "
+                         "pipeline (Pillow-bit-exact bicubic resize + crop "
+                         "+ normalize) on-device inside the forward jit "
+                         "(datasets/device_preprocess.py); transfers shrink "
+                         "4x vs fp32 and the host loop drops the PIL work")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -85,12 +100,11 @@ def main():
 
     B, T, H, W = args.batch, 16, 256, 320
     n_batches = max(1, args.clips // B)
-    data = synthetic_ava_loader(n_batches, B, T, H, W,
-                                nq=cfg.CONFIG.MODEL.QUERY_NUM)
 
     params = jax.jit(model.init, static_argnums=(3,))(
         jax.random.PRNGKey(0),
-        jnp.asarray(data[0][0]["pixels"]), jnp.asarray(data[0][0]["mask"]),
+        jnp.zeros((B, T, H, W, 3), jnp.float32),
+        jnp.zeros((B, H, W), bool),
         True,
     )
 
@@ -98,15 +112,34 @@ def main():
     # run_validation's internal default builds a fresh jax.jit per call,
     # and a fresh wrapper re-traces + re-loads the compile cache INSIDE
     # the timed window (measured: ~2 s/batch of phantom cost)
-    fwd = jax.jit(lambda p, px, mk: model.apply(p, px, mk, True))
+    if args.device_preprocess:
+        from class_query_vad_tpu.datasets.device_preprocess import (
+            make_eval_preprocess,
+        )
+
+        raw_hw = (400, 500)      # native res mapping to 256x320 after the
+        pre, out_hw = make_eval_preprocess(   # resize + centre crop
+            cfg.CONFIG.DATA.IMG_SIZE, raw_hw, dtype=jnp.bfloat16
+        )
+        assert out_hw == (H, W), out_hw
+        data = synthetic_ava_loader(n_batches, B, T, H, W,
+                                    nq=cfg.CONFIG.MODEL.QUERY_NUM,
+                                    raw_hw=raw_hw)
+        fwd = jax.jit(lambda p, px, mk: model.apply(p, pre(px), mk, True))
+        tdt = None               # ship raw uint8 (4x smaller than fp32)
+    else:
+        data = synthetic_ava_loader(n_batches, B, T, H, W,
+                                    nq=cfg.CONFIG.MODEL.QUERY_NUM)
+        fwd = jax.jit(lambda p, px, mk: model.apply(p, px, mk, True))
+        tdt = jnp.bfloat16
 
     # warm through one tiny run (compile + steady-state)
     run_validation(cfg, model, params, postprocess, data[:2], rank=1,
-                   forward_fn=fwd, transfer_dtype=jnp.bfloat16)
+                   forward_fn=fwd, transfer_dtype=tdt)
 
     t0 = time.perf_counter()
     run_validation(cfg, model, params, postprocess, data, rank=1,
-                   forward_fn=fwd, transfer_dtype=jnp.bfloat16)
+                   forward_fn=fwd, transfer_dtype=tdt)
     dt = time.perf_counter() - t0
     clips = n_batches * B
     print(json.dumps({
@@ -114,6 +147,7 @@ def main():
         "value": round(clips / dt, 2),
         "unit": "clips/s",
         "clips": clips,
+        "device_preprocess": bool(args.device_preprocess),
         "ms_per_clip": round(1000 * dt / clips, 2),
     }))
 
