@@ -66,7 +66,7 @@ def test_full_model_remat_grads_match():
     for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_off),
                             jax.tree_util.tree_leaves(g_on)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(path),
         )
 

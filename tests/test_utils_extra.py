@@ -102,6 +102,9 @@ def test_backbone_freeze_labels_vit():
     cfg = get_cfg_defaults()
     cfg.CONFIG.MODEL.BACKBONE_NAME = "ViT"
     cfg.CONFIG.MODEL.TUNE_POINT = 1
+    # tune_point freezing activates only with pretrained loading (the
+    # reference freezes inside load_pretrain)
+    cfg.CONFIG.MODEL.PRETRAINED = True
     params = {
         "params": {
             "backbone": {
@@ -139,6 +142,7 @@ def test_backbone_freeze_labels_csn():
     cfg = get_cfg_defaults()
     cfg.CONFIG.MODEL.BACKBONE_NAME = "CSN-50"
     cfg.CONFIG.MODEL.TUNE_POINT = 4
+    cfg.CONFIG.MODEL.PRETRAINED = True
     params = {
         "params": {
             "backbone": {
