@@ -119,7 +119,8 @@ def main():
     cfg = get_cfg_custom(os.path.join(os.path.dirname(os.path.abspath(__file__)), "configuration", "AVA22_ViT-B_fast.yaml"))
     model = build_model(cfg, dtype=jnp.bfloat16)
 
-    B, T, H, W = 2, 16, 256, 320
+    # B=2 is the shipped operating point; BENCH_BATCH overrides for sweeps
+    B, T, H, W = int(os.environ.get("BENCH_BATCH", 2)), 16, 256, 320
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.normal(size=(B, T, H, W, 3)), jnp.float32)
     mask = jnp.zeros((B, H, W), bool)
