@@ -72,7 +72,14 @@ class CSNBatchNorm(nn.Module):
         rv = self.param("running_var", nn.initializers.ones, (self.features,))
         if train:
             # batch statistics over (B, T, H, W) in fp32 (torch accumulates
-            # in fp32 regardless of input dtype); biased variance
+            # in fp32 regardless of input dtype); biased variance.
+            # Multi-device note: under a data-sharded mesh these reductions
+            # span the whole jit-visible batch, so GSPMD all-reduces the
+            # mean/var across devices — sync-BN semantics, intentionally
+            # better-conditioned than the reference DDP's per-replica
+            # BatchNorm3d stats.  Single-device stats are torch-exact
+            # (tests/test_csn_bn.py); the multi-device gradient therefore
+            # deviates slightly from the reference by design.
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = xf.mean(axes)
