@@ -144,13 +144,19 @@ def create_train_state(model, cfg, rng, sample_batch,
     freeze = backbone_freeze_labels(params, cfg)
     leaves = jax.tree_util.tree_leaves(freeze)
     n_frozen = sum(1 for l in leaves if l == "frozen")
+    tune_active = (bool(cfg.CONFIG.MODEL.get("PRETRAINED", False))
+                   and int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0)) > 0)
     if n_frozen == 0:
         freeze = None
-    elif int(cfg.CONFIG.MODEL.get("TUNE_POINT", 0)) > 0:
+    elif tune_active:
         print(
             f"tune_point={cfg.CONFIG.MODEL.TUNE_POINT}: freezing "
             f"{n_frozen}/{len(leaves)} parameter tensors in the backbone"
         )
+    else:
+        # without pretrained loading only the BN buffers are frozen —
+        # attribute the count to buffer freezing, not tune_point staging
+        print(f"freezing {n_frozen} BatchNorm buffer tensors in the backbone")
     # CONFIG.TRAIN.LR_POLICY selects an optax schedule (utils/lr_scheduler,
     # counterpart of the reference's unwired timm builders); the default is
     # the reference train loop's constant LR (/root/reference/train.py:83).

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 from ..utils.misc import interpolate_mask
 from .common import ChannelLayerNorm
-from .position_encoding import position_embedding_sine_3d
+from .position_encoding import (
+    position_embedding_sine_3d,
+    position_embedding_sine_3d_frames,
+)
 from .vit import ViT, build_vit
 
 FPN_SCALES = (4.0, 2.0, 1.0, 0.5)
@@ -88,6 +91,28 @@ def level_masks_and_poses(
     return masks, poses
 
 
+def level_masks_and_poses_frames(
+    features: List[jnp.ndarray], mask: jnp.ndarray, d_model: int,
+    frames, t_total: int,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Per-level pad masks + sine poses when every level carries only the
+    temporal ``frames`` (absolute indices) of a ``t_total``-frame pyramid.
+    Bit-equal to slicing level_masks_and_poses' full-T output at
+    ``frames`` (see position_embedding_sine_3d_frames)."""
+    masks, poses = [], []
+    f = len(list(frames))
+    for x in features:
+        h_l, w_l = x.shape[2:4]
+        m2 = interpolate_mask(mask, (h_l, w_l))              # [B, h, w]
+        masks.append(
+            jnp.broadcast_to(m2[:, None], (m2.shape[0], f, h_l, w_l))
+        )
+        poses.append(
+            position_embedding_sine_3d_frames(m2, frames, t_total, d_model)
+        )
+    return masks, poses
+
+
 class ViTBackboneFPN(nn.Module):
     """ViT body + 4-scale FPN.
 
@@ -102,22 +127,65 @@ class ViTBackboneFPN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels, mask, deterministic: bool = True):
+    def __call__(self, pixels, mask, deterministic: bool = True,
+                 out_frames=None, dec_frame=None):
         # pixels: [B, T, H, W, 3]; mask: [B, H, W] (True = padded)
-        tokens = build_vit(
-            self.spec.vit, dtype=self.dtype, name="body",
-            remat=(self.spec.gradient_checkpointing
-                   or self.spec.vit.use_checkpoint),
-        )(pixels, deterministic)
-        embed_dim = tokens.shape[-1]
+        #
+        # out_frames: contiguous absolute token-frame indices — produce the
+        # FPN pyramid ONLY at those frames (the centre-frame encoder slice
+        # pushed into the backbone).  Exactness: the lateral branches'
+        # temporal receptive field is the single 3x3x3 proj2 conv (the
+        # ConvTranspose/MaxPool/1x1 stages are spatial-only), so FPN output
+        # frame i needs token frames i-1..i+1; the ViT body computes that
+        # halo range (last block query-sliced — vit.py) and proj2's interior
+        # output frames are exact.  Edge frames that would read the zero
+        # padding do so in the full computation too.
+        # dec_frame: additionally return the ref level's (index -2) sine
+        # pose at this absolute frame (the decoder's pos_common frame,
+        # transformer._center_frame_decode).
+        s = self.spec
+        vit = build_vit(
+            s.vit, dtype=self.dtype, name="body",
+            remat=(s.gradient_checkpointing or s.vit.use_checkpoint),
+        )
+        if out_frames is None:
+            tokens = vit(pixels, deterministic)
+            embed_dim = tokens.shape[-1]
+            features = []
+            for i, scale in enumerate(FPN_SCALES):
+                features.append(
+                    LateralConv(
+                        scale, embed_dim, self.d_model, self.dtype,
+                        name=f"lateral_convs_{i}",
+                    )(tokens)
+                )
+            masks, poses = level_masks_and_poses(features, mask, self.d_model)
+            return features, masks, poses
 
+        of = tuple(sorted(set(out_frames)))
+        assert of[-1] - of[0] == len(of) - 1, "out_frames must be contiguous"
+        t_tokens = pixels.shape[1] // s.vit.tubelet_size
+        v0 = max(of[0] - 1, 0)
+        v1 = min(of[-1] + 2, t_tokens)
+        tokens = vit(pixels, deterministic, out_frame_range=(v0, v1))
+        embed_dim = tokens.shape[-1]
+        lo, hi = of[0] - v0, of[-1] + 1 - v0
         features = []
         for i, scale in enumerate(FPN_SCALES):
             features.append(
                 LateralConv(
                     scale, embed_dim, self.d_model, self.dtype,
                     name=f"lateral_convs_{i}",
-                )(tokens)
+                )(tokens)[:, lo:hi]
             )
-        masks, poses = level_masks_and_poses(features, mask, self.d_model)
-        return features, masks, poses
+        masks, poses = level_masks_and_poses_frames(
+            features, mask, self.d_model, of, t_tokens
+        )
+        pos_dec = None
+        if dec_frame is not None:
+            ref = features[len(FPN_SCALES) - 2]
+            m2 = interpolate_mask(mask, ref.shape[2:4])
+            pos_dec = position_embedding_sine_3d_frames(
+                m2, (dec_frame,), t_tokens, self.d_model
+            )
+        return features, masks, poses, pos_dec

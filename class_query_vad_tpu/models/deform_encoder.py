@@ -111,14 +111,30 @@ class DeformableEncoderLayer(nn.Module):
     @nn.compact
     def __call__(
         self, src, pos, reference_points, spatial_shapes, padding_mask,
-        deterministic: bool = True,
+        deterministic: bool = True, q_chunks=None,
     ):
+        # q_chunks: static ((start, stop), ...) token-row spans — restrict
+        # this layer's QUERIES (and its output) to those rows while the
+        # sampling still reads the full value stream.  Exact for the FINAL
+        # encoder layer in single-frame mode: only the centre-lerp frames
+        # of each level are consumed downstream, and every per-query op
+        # (offset/weight heads, sampling, residual, LN, FFN) is row-
+        # independent given full values.
+        if q_chunks is not None:
+            take = lambda x: jnp.concatenate(
+                [x[:, a:b] for a, b in q_chunks], axis=1
+            )
+            q_src, q_pos, q_ref = (
+                take(src), take(pos), take(reference_points)
+            )
+        else:
+            q_src, q_pos, q_ref = src, pos, reference_points
         attn = MSDeformAttn3D(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             self.dtype, name="self_attn",
-        )(src + pos, reference_points, src, spatial_shapes, padding_mask)
+        )(q_src + q_pos, q_ref, src, spatial_shapes, padding_mask)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(q_src + attn)
 
         y = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
         y = nn.relu(y)
@@ -177,17 +193,27 @@ class DeformableEncoder(nn.Module):
     @nn.compact
     def __call__(
         self, src, spatial_shapes, valid_ratios, pos, padding_mask,
-        deterministic: bool = True,
+        deterministic: bool = True, last_layer_chunks=None,
     ):
+        # last_layer_chunks: static row spans for the FINAL layer's queries
+        # (see DeformableEncoderLayer.q_chunks) — the returned memory then
+        # contains only those rows, concatenated in chunk order.  Layers
+        # 1..N-1 stay full: their outputs feed the next layer's
+        # unconstrained 3D sampling at every frame.
         reference_points = encoder_reference_points(spatial_shapes, valid_ratios)
         layer_cls = DeformableEncoderLayer
         if self.remat:
-            layer_cls = nn.remat(DeformableEncoderLayer, static_argnums=(3, 5))
+            layer_cls = nn.remat(
+                DeformableEncoderLayer, static_argnums=(3, 5, 6)
+            )
         out = src
         for i in range(self.num_layers):
+            chunks = (
+                last_layer_chunks if i == self.num_layers - 1 else None
+            )
             out = layer_cls(
                 self.d_model, self.d_ffn, self.n_levels, self.n_heads,
                 self.n_points, self.dropout, self.dtype, name=f"layers_{i}",
             )(out, pos, reference_points, spatial_shapes, padding_mask,
-              deterministic)
+              deterministic, chunks)
         return out

@@ -147,6 +147,37 @@ class DETR(nn.Module):
             srcs = [x]
             masks, poses = level_masks_and_poses(srcs, mask, self.hidden_dim)
         elif self.spec.is_vit:
+            # Centre-frame slice pushed into the backbone (round 5): when
+            # the fast encoder's slice plan applies, the FPN only needs the
+            # plan's frames (+/-1 token-frame halo for its 3x3x3 convs), so
+            # the ViT last block / FPN / poses never compute the ~6 dead
+            # frames at all.  Mathematically identical to slicing after the
+            # FPN (transformer plan path) — pinned by tests/test_eff_slice.
+            plan = None
+            s = self.spec
+            if s.encoder_type == "fast_attention":
+                from .transformer import center_slice_plan
+
+                t_tokens = pixels.shape[1] // s.vit.tubelet_size
+                plan = center_slice_plan(
+                    s.fast_eff_slice, s.single_frame, s.fast_window,
+                    s.num_feature_levels, s.temp_len, t_tokens,
+                )
+            if plan is not None:
+                dec_frame = (s.temp_len // 2) % t_tokens
+                srcs, masks, poses, pos_dec = self.backbone(
+                    pixels, mask, deterministic,
+                    out_frames=tuple(sorted(set(plan[0]))),
+                    dec_frame=dec_frame,
+                )
+                refs = self.refpoint_embed.reshape(self.num_queries, 1, 4)
+                hs, cls_hs, references = self.transformer(
+                    srcs, masks, poses, refs, deterministic,
+                    pre_sliced=(t_tokens, pos_dec),
+                )
+                return self._heads_and_outputs(
+                    hs, cls_hs, references, pixels, deterministic
+                )
             srcs, masks, poses = self.backbone(pixels, mask, deterministic)
         else:
             from .backbone import level_masks_and_poses
@@ -168,6 +199,12 @@ class DETR(nn.Module):
         hs, cls_hs, references = self.transformer(
             srcs, masks, poses, refs, deterministic
         )
+        return self._heads_and_outputs(
+            hs, cls_hs, references, pixels, deterministic
+        )
+
+    def _heads_and_outputs(self, hs, cls_hs, references, pixels,
+                           deterministic) -> Dict:
         # hs: [NL, BT, NQ, C]; cls_hs: [NL, BT, NQ, NC, C]; refs: [NL, BT, NQ, 4]
         outputs_class_b = self.class_embed_b(hs)
         outputs_coord = self.transformer.decode_boxes(hs, references)

@@ -64,6 +64,59 @@ def position_embedding_sine_3d(
     return jnp.concatenate([pos_t, pos_y, pos_x], axis=-1)
 
 
+def position_embedding_sine_3d_frames(
+    mask2d: jnp.ndarray,
+    frames,
+    t_total: int,
+    num_pos_feats: int = 256,
+    temperature: float = 10000.0,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Sine embedding at a subset of absolute temporal frames.
+
+    ``mask2d``: [B, H, W] bool (True = padded), replicated over time (the
+    ViT/CSN level masks are — backbone.level_masks_and_poses broadcasts one
+    spatial mask over T_l).  ``frames``: absolute 0-based frame indices;
+    ``t_total``: the level's full temporal extent.  Bit-equal to slicing
+    ``position_embedding_sine_3d`` of the replicated [B, t_total, H, W]
+    mask at ``frames``: with a time-replicated mask the temporal cumsum at
+    frame i is (i+1)·~mask and its normalizer is t_total·~mask, both
+    reproduced here without materializing the full-T volume.
+    """
+    if scale is None:
+        scale = 2.0 * math.pi
+    n_t = num_pos_feats // 8 * 2
+    n_s = num_pos_feats // 8 * 3
+    eps = 1e-6
+
+    nm = (~mask2d).astype(jnp.float32)                    # [B, H, W]
+    fr = jnp.asarray(list(frames), jnp.float32) + 1.0     # cumsum values
+    # [B, F, H, W]: ((i+1)*nm) / (t_total*nm + eps) * scale
+    t_embed = (fr[None, :, None, None] * nm[:, None]) / (
+        t_total * nm[:, None] + eps
+    ) * scale
+    y_embed = jnp.cumsum(nm, axis=1)
+    x_embed = jnp.cumsum(nm, axis=2)
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+
+    dim_t = temperature ** (jnp.arange(n_t, dtype=jnp.float32) / n_t)
+    dim_s = temperature ** (jnp.arange(n_s, dtype=jnp.float32) / n_s)
+
+    f = len(list(frames))
+    b, h, w = mask2d.shape
+    pos_t = _interleave_sincos(t_embed[..., None] / dim_t)
+    pos_y = jnp.broadcast_to(
+        _interleave_sincos(y_embed[..., None] / dim_s)[:, None],
+        (b, f, h, w, n_s),
+    )
+    pos_x = jnp.broadcast_to(
+        _interleave_sincos(x_embed[..., None] / dim_s)[:, None],
+        (b, f, h, w, n_s),
+    )
+    return jnp.concatenate([pos_t, pos_y, pos_x], axis=-1)
+
+
 def vit_sinusoid_table(n_position: int, d_hid: int) -> jnp.ndarray:
     """VideoMAE fixed sinusoid table
     (/root/reference/models/backbones/vit_utils.py:196-207): angle =

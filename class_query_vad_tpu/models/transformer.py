@@ -66,6 +66,33 @@ def make_interpolated_features(
     return out
 
 
+def center_slice_plan(eff_slice: bool, single_frame: bool, fast_window: str,
+                      num_levels: int, temp_len: int, t_l: int):
+    """Static centre-frame slice plan (frames, weights, transposed2d) for
+    the fast encoder, or None when it does not apply (see
+    DABTransformer._center_slice_plan).  Module-level so the DETR top can
+    compute the plan BEFORE the backbone runs and push the slice into the
+    ViT/FPN (backbone.ViTBackboneFPN out_frames)."""
+    if not (eff_slice and single_frame and fast_window == "2d"
+            and num_levels > 1):
+        return None
+    if t_l == 1:
+        return None                        # already single-frame
+    f = temp_len // 2
+    if t_l == temp_len:
+        return (f,), (1.0,), True
+    g = 0.0 if temp_len == 1 else -1.0 + 2.0 * f / (temp_len - 1)
+    c = ((g + 1.0) * t_l - 1.0) / 2.0
+    i0 = int(math.floor(c))
+    frac = c - i0
+    i1 = i0 + 1
+    w0 = (1.0 - frac) * (1.0 if 0 <= i0 < t_l else 0.0)
+    w1 = frac * (1.0 if 0 <= i1 < t_l else 0.0)
+    i0c = min(max(i0, 0), t_l - 1)
+    i1c = min(max(i1, 0), t_l - 1)
+    return (i0c, i1c), (w0, w1), False
+
+
 class DABTransformer(nn.Module):
     d_model: int = 256
     nhead: int = 8
@@ -152,6 +179,10 @@ class DABTransformer(nn.Module):
         poses: List[jnp.ndarray],    # per level like srcs
         refpoint_embed: jnp.ndarray,  # [NQ, TQ, 4] (TQ = 1 or temp_len)
         deterministic: bool = True,
+        pre_sliced=None,  # (orig_t_l, pos_dec): srcs/poses/masks arrive
+                          # already centre-sliced by the backbone
+                          # (backbone.ViTBackboneFPN out_frames); pos_dec is
+                          # the ref level's sine pose at the decode frame
     ):
         b = srcs[0].shape[0]
         spatial_shapes = tuple(tuple(s.shape[1:4]) for s in srcs)
@@ -160,17 +191,29 @@ class DABTransformer(nn.Module):
             # TPU-native windowed encoder works on per-level grids directly;
             # no token flattening or valid-ratio machinery needed.
             fdt = jnp.dtype(self.fast_dtype)
-            plan = self._center_slice_plan(spatial_shapes)
-            if plan is not None:
-                frames = plan[0]
-                _take = lambda x: jnp.concatenate(
-                    [x[:, i : i + 1] for i in frames], axis=1
+            if pre_sliced is not None:
+                orig_t, pos_dec = pre_sliced
+                plan = center_slice_plan(
+                    self.eff_slice, self.single_frame, self.fast_window,
+                    self.num_feature_levels, self.temp_len, orig_t,
                 )
-                srcs_e = [_take(s) for s in srcs]
-                poses_e = [_take(p) for p in poses]
-                masks_e = [_take(m) for m in masks]
-            else:
+                assert plan is not None, "pre_sliced inputs without a plan"
+                uniq = sorted(set(plan[0]))
+                assert srcs[0].shape[1] == len(uniq), (
+                    "pre-sliced srcs do not match the slice plan")
                 srcs_e, poses_e, masks_e = srcs, poses, masks
+            else:
+                plan = self._center_slice_plan(spatial_shapes)
+                if plan is not None:
+                    frames = plan[0]
+                    _take = lambda x: jnp.concatenate(
+                        [x[:, i : i + 1] for i in frames], axis=1
+                    )
+                    srcs_e = [_take(s) for s in srcs]
+                    poses_e = [_take(p) for p in poses]
+                    masks_e = [_take(m) for m in masks]
+                else:
+                    srcs_e, poses_e, masks_e = srcs, poses, masks
             pos_levels = [
                 (p + self.level_embed[l]).astype(fdt)
                 for l, p in enumerate(poses_e)
@@ -185,6 +228,11 @@ class DABTransformer(nn.Module):
             hdt = jnp.promote_types(jnp.dtype(self.decoder_dtype), fdt)
             mem_levels = [m.astype(hdt) for m in mem_levels]
             if plan is not None:
+                if pre_sliced is not None:
+                    return self._center_frame_decode_presliced(
+                        mem_levels, masks, refpoint_embed, deterministic,
+                        plan, pos_dec, fdt, hdt,
+                    )
                 return self._center_frame_decode(
                     mem_levels, poses, masks, spatial_shapes,
                     refpoint_embed, deterministic, plan, fdt, hdt,
@@ -223,6 +271,52 @@ class DABTransformer(nn.Module):
                 deterministic,
             )
 
+        # Last-layer query slice for the EXACT encoder (round 5): layers
+        # 1..N-1 must stay full (unconstrained 3D sampling reads every
+        # frame of the previous layer), but the FINAL layer's output is
+        # only consumed at the centre-lerp frames of each level
+        # (make_interpolated_features at frame f), so its queries — offset/
+        # weight heads, sampling, FFN — can be restricted to those rows.
+        # Same plan math as the fast path; the window gate is irrelevant
+        # here (pass "2d") because only the last layer's QUERIES are cut.
+        plan = None
+        if (self.single_frame and len(spatial_shapes) > 1
+                and len({s[0] for s in spatial_shapes}) == 1):
+            plan = center_slice_plan(
+                self.eff_slice, True, "2d", self.num_feature_levels,
+                self.temp_len, spatial_shapes[0][0],
+            )
+
+        if plan is not None:
+            uniq = sorted(set(plan[0]))
+            chunks, start = [], 0
+            for (t, h, w) in spatial_shapes:
+                chunks.append(
+                    (start + uniq[0] * h * w, start + (uniq[-1] + 1) * h * w)
+                )
+                start += t * h * w
+            memory = self.encoder(
+                src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
+                deterministic, last_layer_chunks=tuple(chunks),
+            )
+            mem_levels, start, nf = [], 0, len(uniq)
+            for (t, h, w) in spatial_shapes:
+                size = nf * h * w
+                mem_levels.append(
+                    memory[:, start : start + size].reshape(
+                        b, nf, h, w, self.d_model
+                    )
+                )
+                start += size
+            ref_lvl = len(spatial_shapes) - 2
+            t_l = spatial_shapes[ref_lvl][0]
+            fdec = (self.temp_len // 2) % t_l
+            pos_dec = poses[ref_lvl][:, fdec : fdec + 1].astype(jnp.float32)
+            return self._center_frame_decode_presliced(
+                mem_levels, masks, refpoint_embed, deterministic, plan,
+                pos_dec, jnp.float32, jnp.float32,
+            )
+
         memory = self.encoder(
             src_flat, spatial_shapes, valid_ratios, pos_flat, mask_flat,
             deterministic,
@@ -254,29 +348,15 @@ class DABTransformer(nn.Module):
         (resize._grid_coords) for the 3d branch, a direct frame slice (with
         the reference's transposed 2D resample quirk) when T_l == temp_len.
         """
-        if not (self.eff_slice and self.single_frame
-                and self.fast_window == "2d"
-                and self.num_feature_levels > 1 and len(spatial_shapes) > 1):
+        if len(spatial_shapes) <= 1:
             return None
         t_set = {s[0] for s in spatial_shapes}
         if len(t_set) != 1:
             return None
-        t_l = t_set.pop()
-        if t_l == 1:
-            return None                        # already single-frame
-        f = self.temp_len // 2
-        if t_l == self.temp_len:
-            return (f,), (1.0,), True
-        g = 0.0 if self.temp_len == 1 else -1.0 + 2.0 * f / (self.temp_len - 1)
-        c = ((g + 1.0) * t_l - 1.0) / 2.0
-        i0 = int(math.floor(c))
-        frac = c - i0
-        i1 = i0 + 1
-        w0 = (1.0 - frac) * (1.0 if 0 <= i0 < t_l else 0.0)
-        w1 = frac * (1.0 if 0 <= i1 < t_l else 0.0)
-        i0c = min(max(i0, 0), t_l - 1)
-        i1c = min(max(i1, 0), t_l - 1)
-        return (i0c, i1c), (w0, w1), False
+        return center_slice_plan(
+            self.eff_slice, self.single_frame, self.fast_window,
+            self.num_feature_levels, self.temp_len, t_set.pop(),
+        )
 
     def _center_frame_decode(self, mem_levels, poses, masks, spatial_shapes,
                              refpoint_embed, deterministic, plan, fdt, hdt):
@@ -309,6 +389,39 @@ class DABTransformer(nn.Module):
             .astype(hdt)[:, f % t_l : f % t_l + 1]
         )
         mask_common = masks[ref_lvl][:, f % t_l : f % t_l + 1]
+        return self._decode(outs, pos_common, mask_common, refpoint_embed,
+                            deterministic)
+
+    def _center_frame_decode_presliced(self, mem_levels, masks,
+                                       refpoint_embed, deterministic, plan,
+                                       pos_dec, fdt, hdt):
+        """_center_frame_decode when the backbone already delivered only the
+        plan's (unique) frames: identical math, but the temporal lerp
+        indexes the sliced t axis and pos_common comes from the backbone's
+        decode-frame sine pose instead of a full-T slice."""
+        frames, fweights, transposed2d = plan
+        uniq = sorted(set(frames))
+        ref_lvl = len(mem_levels) - 2
+        h, w = mem_levels[ref_lvl].shape[2:4]
+
+        outs = []
+        for m in mem_levels:                  # [B, len(uniq), H_l, W_l, C]
+            if transposed2d:
+                outs.append(
+                    jnp.swapaxes(grid_resize_2d(m[:, 0:1], (w, h)), -3, -2)
+                )
+            else:
+                wts = jnp.asarray(fweights, jnp.float32)
+                i0, i1 = uniq.index(frames[0]), uniq.index(frames[1])
+                plane = m[:, i0 : i0 + 1] * wts[0] + m[:, i1 : i1 + 1] * wts[1]
+                outs.append(grid_resize_2d(plane, (h, w)))
+
+        pos_common = (
+            (pos_dec + self.level_embed[ref_lvl]).astype(fdt).astype(hdt)
+        )
+        # level masks are time-replicated; any retained frame equals the
+        # decode frame's mask
+        mask_common = masks[ref_lvl][:, 0:1]
         return self._decode(outs, pos_common, mask_common, refpoint_embed,
                             deterministic)
 

@@ -40,8 +40,14 @@ class ViTAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # x: [B, N, C]
-        b, n, c = x.shape
+    def __call__(self, x, kv=None):
+        # x: [B, Nq, C] (queries); kv: [B, N, C] key/value tokens, or None
+        # for plain self-attention.  The split path reuses the SAME fused
+        # qkv_kernel param (column slices), so the param tree / checkpoint
+        # layout is identical — it exists so the caller can restrict the
+        # final block's QUERIES to the frames the FPN actually consumes
+        # (centre-frame slice; see ViT.__call__ out_frame_range).
+        b, nq, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
@@ -55,12 +61,25 @@ class ViTAttention(nn.Module):
         else:
             bias = None
 
-        qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype))
-        if bias is not None:
-            qkv = qkv + bias.astype(self.dtype)
-
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+        if kv is None:
+            n = nq
+            qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype))
+            if bias is not None:
+                qkv = qkv + bias.astype(self.dtype)
+            qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
+        else:
+            n = kv.shape[1]
+            q = jnp.dot(x.astype(self.dtype),
+                        qkv_kernel[:, : self.dim].astype(self.dtype))
+            kvm = jnp.dot(kv.astype(self.dtype),
+                          qkv_kernel[:, self.dim :].astype(self.dtype))
+            if bias is not None:
+                q = q + bias[: self.dim].astype(self.dtype)
+                kvm = kvm + bias[self.dim :].astype(self.dtype)
+            q = q.reshape(b, nq, self.num_heads, head_dim)
+            kvm = kvm.reshape(b, n, 2, self.num_heads, head_dim)
+            k, v = kvm[:, :, 0], kvm[:, :, 1]
 
         # Manual max-subtracted softmax keeping the score tensor in the
         # compute dtype (exp and the denominator accumulate in fp32).  In
@@ -95,10 +114,10 @@ class ViTAttention(nn.Module):
         # so the "extra pass" never actually hits HBM.  Keep e/s.
         attn = e / s.astype(self.dtype)
         if b == 1:
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, nq, self.dim)
         else:
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(
-                0, 2, 1, 3).reshape(b, n, self.dim)
+                0, 2, 1, 3).reshape(b, nq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -111,12 +130,22 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, q_rows=None):
+        # q_rows=(start, stop): restrict this block's QUERIES (and therefore
+        # its entire output) to token rows [start:stop); keys/values still
+        # read every token.  Exact for the final block when downstream
+        # consumers only use those rows — attention output rows are
+        # independent given full k/v, and LN/MLP/residual are per-token.
         dp = DropPath(self.drop_path, name="drop_path")
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = ViTAttention(
+        attn = ViTAttention(
             self.dim, self.num_heads, self.qkv_bias, self.dtype, name="attn"
-        )(y)
+        )
+        if q_rows is None:
+            y = attn(y)
+        else:
+            x = x[:, q_rows[0] : q_rows[1]]
+            y = attn(y[:, q_rows[0] : q_rows[1]], kv=y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
@@ -142,7 +171,14 @@ class ViT(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, out_frame_range=None):
+        # out_frame_range=(f0, f1): return token frames [f0:f1) only.  All
+        # blocks but the last run on the full token stream (joint space-
+        # time attention mixes every frame into every key/value); the LAST
+        # block restricts its queries to those frames — exact, because its
+        # other rows have no downstream consumer — and the final LayerNorm
+        # is per-token.  Used by the centre-frame FPN slice
+        # (backbone.ViTBackboneFPN) to skip ~half of block 12 + final LN.
         b, T, H, W, _ = x.shape
         t = T // self.tubelet_size
         h, w = H // self.patch_size, W // self.patch_size
@@ -171,12 +207,18 @@ class ViT(nn.Module):
 
         block = ViTBlock
         if self.remat:
-            block = nn.remat(ViTBlock, static_argnums=(2,))
+            block = nn.remat(ViTBlock, static_argnums=(2, 3))
         # stochastic depth decay (vit_utils.py:234)
         dpr = [
             self.drop_path_rate * i / max(self.depth - 1, 1)
             for i in range(self.depth)
         ]
+        q_rows = None
+        n_frames = t
+        if out_frame_range is not None:
+            f0, f1 = out_frame_range
+            q_rows = (f0 * h * w, f1 * h * w)   # token rows are t-major
+            n_frames = f1 - f0
         for i in range(self.depth):
             x = block(
                 self.embed_dim,
@@ -186,10 +228,10 @@ class ViT(nn.Module):
                 dpr[i],
                 self.dtype,
                 name=f"blocks_{i}",
-            )(x, deterministic)
+            )(x, deterministic, q_rows if i == self.depth - 1 else None)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return x.reshape(b, t, h, w, self.embed_dim)
+        return x.reshape(b, n_frames, h, w, self.embed_dim)
 
 
 def build_vit(spec, dtype=jnp.float32, name=None, remat=False) -> ViT:

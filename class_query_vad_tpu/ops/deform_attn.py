@@ -323,8 +323,6 @@ def _sample_level_packed(
     x0i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
     flat = (t0i * (h + 1) + y0i) * (w + 1) + x0i    # [B, Q, H, P]
 
-    flat = (t0i * (h + 1) + y0i) * (w + 1) + x0i    # [B, Q, H, P]
-
     wt = jnp.stack([1.0 - lt, lt], axis=-1)         # [B, Q, H, P, 2]
     wy = jnp.stack([1.0 - ly, ly], axis=-1)
     wx = jnp.stack([1.0 - lx, lx], axis=-1)

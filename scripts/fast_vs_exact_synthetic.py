@@ -119,7 +119,7 @@ def make_cfg(root, encoder_type):
     return cfg
 
 
-def run(root, encoder_type, epochs, lr=None):
+def run(root, encoder_type, epochs, lr=None, seed=0):
     from class_query_vad_tpu.datasets import build_dataloader
     from class_query_vad_tpu.engine import (
         create_train_state,
@@ -153,7 +153,7 @@ def run(root, encoder_type, epochs, lr=None):
     ]
 
     first = batches[0]
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), first)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(seed), first)
     step = jax.jit(make_train_step(model, criterion, weight_dict, tx),
                    donate_argnums=(0,))
 
@@ -177,6 +177,7 @@ def run(root, encoder_type, epochs, lr=None):
     result = run_validation(cfg, model, params, postprocess, val_loader)
     return ({"encoder": encoder_type, "mAP": result["mAP"],
              "v_mAP": result.get("v_mAP"), "lr": cfg.CONFIG.TRAIN.LR,
+             "seed": seed,
              "train_s": round(time.time() - t0, 1)}, params)
 
 
@@ -246,7 +247,13 @@ def main():
     ap.add_argument("--params-cache", default="",
                     help="pickle path: save the exact arm's trained params "
                          "(and reuse them for a transplant-only run)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train seed (init + dropout); the synthetic world "
+                         "stays fixed so seeds measure model-seed variance")
     args = ap.parse_args()
+    if args.only == "transplant" and not args.params_cache:
+        ap.error("--only transplant requires --params-cache "
+                 "(a pickle saved by a prior exact run)")
 
     with tempfile.TemporaryDirectory() as root:
         make_world(root)        # seeded -> identical across invocations
@@ -254,14 +261,15 @@ def main():
         exact_params = None
         if args.only in (None, "exact"):
             r_exact, exact_params = run(root, "attention", args.epochs,
-                                        lr=args.lr)
+                                        lr=args.lr, seed=args.seed)
             out.append(r_exact)
             print(json.dumps(r_exact), flush=True)
             if args.params_cache:
                 with open(args.params_cache, "wb") as f:
                     pickle.dump(jax.device_get(exact_params), f)
         if args.only in (None, "fast"):
-            r_fast, _ = run(root, "fast_attention", args.epochs, lr=args.lr)
+            r_fast, _ = run(root, "fast_attention", args.epochs, lr=args.lr,
+                            seed=args.seed)
             out.append(r_fast)
             print(json.dumps(r_fast), flush=True)
         if args.only in (None, "transplant"):

@@ -93,3 +93,169 @@ def test_crop_math_matches_transforms():
 def test_normalize_constants():
     np.testing.assert_allclose(IMAGENET_MEAN, [0.485, 0.456, 0.406])
     np.testing.assert_allclose(IMAGENET_STD, [0.229, 0.224, 0.225])
+
+
+# --------------------------- train augmentation ----------------------------
+
+def _host_train_pipeline(frames, target, rng, img_size, jitter, eigval,
+                         eigvec):
+    from class_query_vad_tpu.datasets.transforms import (
+        ColorJitter,
+        Compose,
+        PCAJitter,
+        RandomHorizontalFlip,
+        RandomSizeCropCustom,
+    )
+
+    tr = Compose([
+        RandomHorizontalFlip(),
+        RandomSizeCropCustom(img_size),
+        ColorJitter(sat_shift=jitter, val_shift=jitter),
+        PCAJitter(0.1, eigval, eigvec),
+        ToArray(),
+        Normalize(),
+    ])
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs, target = tr(imgs, target, rng)
+    return np.stack(imgs), target
+
+
+_EIGVAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
+_EIGVEC = np.array(
+    [[-0.5675, 0.7192, 0.4009],
+     [-0.5808, -0.0045, -0.8140],
+     [-0.5836, -0.6948, 0.4203]], np.float32,
+)
+
+
+def test_hsv_roundtrip_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from class_query_vad_tpu.datasets.device_preprocess import (
+        hsv_to_rgb_u8,
+        rgb_to_hsv_u8,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    ref_hsv = cv2.cvtColor(x, cv2.COLOR_RGB2HSV).astype(np.int32)
+    got_hsv = np.asarray(rgb_to_hsv_u8(jnp.asarray(x)))
+    # fixed-point tables reproduced exactly
+    np.testing.assert_array_equal(got_hsv, ref_hsv)
+
+    ref_rgb = cv2.cvtColor(ref_hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+    got_rgb = np.asarray(hsv_to_rgb_u8(jnp.asarray(got_hsv)))
+    # cv2 itself is 1-LSB inconsistent between its scalar and SIMD
+    # HSV2RGB paths (measured on cv2 5.0.0: hsv (68,68,229) -> r=168 via
+    # the 1x1/4096x1 scalar path, 167 via the 64x64/1x4096 SIMD path).
+    # Our formula matches the scalar path bit-for-bit; against whichever
+    # path cv2 dispatches here, allow 1 LSB.
+    diff = np.abs(got_rgb.astype(int) - ref_rgb.astype(int))
+    assert diff.max() <= 1, diff.max()
+    # against the SCALAR path (tall Nx1 images dispatch it): bit-exact
+    scalar_ref = cv2.cvtColor(
+        ref_hsv.reshape(-1, 1, 3).astype(np.uint8), cv2.COLOR_HSV2RGB
+    ).reshape(ref_hsv.shape)
+    np.testing.assert_array_equal(got_rgb, scalar_ref)
+
+
+@pytest.mark.parametrize("native_hw,seed", [
+    ((256, 341), 0), ((341, 256), 3), ((256, 320), 7),
+])
+def test_train_graph_matches_host_path(native_hw, seed):
+    """Same per-clip seed -> the device train graph (flip, crop, HSV
+    jitter, PCA lighting, normalize) matches the PIL/cv2 host Compose.
+    Geometric + PCA + normalize stages are exact; the HSV stage is allowed
+    <=1 uint8 LSB before /255 (documented cv2 float-path tolerance)."""
+    pytest.importorskip("cv2")
+    from class_query_vad_tpu.datasets.device_preprocess import (
+        draw_train_params,
+        make_train_preprocess,
+        train_target_transform,
+    )
+
+    img_size, T, jitter = 256, 2, 0.4
+    rng = np.random.default_rng(100 + seed)
+    frames = rng.integers(0, 256, size=(T,) + native_hw + (3,),
+                          dtype=np.uint8)
+    boxes = np.array([[0.0, 30.0, 40.0, 200.0, 180.0],
+                      [0.0, 5.0, 6.0, 90.0, 70.0]], np.float32)
+    target = {
+        "size": np.array(native_hw),
+        "boxes": boxes.copy(),
+        "raw_boxes": np.concatenate([boxes[:, :1], boxes], axis=1).copy(),
+    }
+
+    host, host_t = _host_train_pipeline(
+        frames, {k: v.copy() for k, v in target.items()},
+        np.random.default_rng(seed), img_size, jitter, _EIGVAL, _EIGVEC,
+    )
+
+    params = draw_train_params(
+        np.random.default_rng(seed), img_size, native_hw,
+        sat_shift=jitter, val_shift=jitter, alphastd=0.1,
+        eigval=_EIGVAL, eigvec=_EIGVEC,
+    )
+    fn, out_hw = make_train_preprocess(img_size, native_hw)
+    dev = np.asarray(fn(jnp.asarray(frames), params))
+    assert dev.shape == (T,) + out_hw + (3,)
+    assert host.shape == dev.shape
+    # <=1 uint8 LSB through the HSV stage -> <= (1/255)/min(std) after
+    # normalize, plus fp32 noise
+    tol = (1.0 / 255.0) / float(IMAGENET_STD.min()) + 1e-5
+    assert np.abs(dev - host).max() <= tol
+
+    dev_t = train_target_transform(
+        {k: v.copy() for k, v in target.items()}, img_size, native_hw,
+        params,
+    )
+    np.testing.assert_array_equal(dev_t["size"], host_t["size"])
+    # host Normalize converted boxes to normalized cxcywh; replicate for
+    # comparison
+    h, w = dev_t["size"]
+    b = dev_t["boxes"][:, 1:]
+    cxcywh = np.stack(
+        [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2,
+         b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=1,
+    ) / np.array([w, h, w, h], np.float32)
+    np.testing.assert_allclose(cxcywh, host_t["boxes"][:, 1:], atol=1e-6)
+
+
+def test_train_graph_flip_crop_geometry():
+    """Geometric stages are exact: with zero photometric shifts the device
+    output equals flip+crop of the frames followed by the (host) cv2 HSV
+    round-trip — the host ColorJitter always performs that uint8
+    round-trip too, even at zero shift, so it is part of the reference
+    semantics, not a deviation."""
+    cv2 = pytest.importorskip("cv2")
+    from class_query_vad_tpu.datasets.device_preprocess import (
+        make_train_preprocess,
+        random_crop_dims,
+    )
+
+    # native taller than the crop so the crop position is nontrivial:
+    # (300, 341) at size 256 -> crop (256, 291), y in [0, 44], x in [0, 50]
+    native_hw, img_size, T = (300, 341), 256, 2
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(T,) + native_hw + (3,),
+                          dtype=np.uint8)
+    params = {
+        "flip": np.asarray(True),
+        "crop_yx": np.asarray([11, 37], np.int32),
+        "hsv_shift": np.asarray([0, 0, 0], np.int32),
+        "pca_rgb": np.zeros(3, np.float32),
+    }
+    fn, out_hw = make_train_preprocess(img_size, native_hw)
+    dev = np.asarray(fn(jnp.asarray(frames), params))
+
+    ch, cw = random_crop_dims(img_size, native_hw)
+    assert out_hw == (ch, cw)
+    assert 37 + cw <= native_hw[1] and 11 + ch <= native_hw[0]
+    crop = frames[:, :, ::-1][:, 11 : 11 + ch, 37 : 37 + cw]
+    rt = np.stack([
+        cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2HSV), cv2.COLOR_HSV2RGB)
+        for f in crop
+    ])
+    ref = rt.astype(np.float32) / 255.0
+    ref = (ref - IMAGENET_MEAN) / IMAGENET_STD
+    tol = (1.0 / 255.0) / float(IMAGENET_STD.min()) + 1e-5
+    assert np.abs(dev - ref).max() <= tol

@@ -97,6 +97,35 @@ def test_grads_exact(world):
         )
 
 
+def _exact_cfg(eff_slice: bool):
+    cfg = _tiny_cfg(eff_slice)
+    cfg.CONFIG.MODEL.ENCODER_TYPE = "attention"
+    return cfg
+
+
+def test_exact_encoder_last_layer_slice():
+    """Round 5: the exact encoder's FINAL layer restricts its queries to
+    the centre-lerp frames (its other output rows are never consumed by
+    the single-frame decoder).  Layers 1..N-1 stay full.  Forward must
+    match the unsliced model; param trees identical."""
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(rng.normal(size=(1, 8, 64, 64, 3)), jnp.float32)
+    mask = jnp.zeros((1, 64, 64), bool)
+    m_full = build_model(_exact_cfg(False))
+    m_slice = build_model(_exact_cfg(True))
+    params = m_full.init(jax.random.PRNGKey(0), pixels, mask, True)
+    p2 = m_slice.init(jax.random.PRNGKey(0), pixels, mask, True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    out_f = m_full.apply(params, pixels, mask, True)
+    out_s = m_slice.apply(params, pixels, mask, True)
+    for k in ("pred_logits", "pred_boxes", "pred_logits_b"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_s[k]), rtol=0, atol=1e-5,
+            err_msg=k,
+        )
+
+
 def test_plan_matches_grid_coords():
     """The static python plan must reproduce resize._grid_coords'
     temporal sampling math for the centre frame."""
