@@ -160,7 +160,11 @@ def create_train_state(model, cfg, rng, sample_batch,
     # CONFIG.TRAIN.LR_POLICY selects an optax schedule (utils/lr_scheduler,
     # counterpart of the reference's unwired timm builders); the default is
     # the reference train loop's constant LR (/root/reference/train.py:83).
-    lr = cfg.CONFIG.TRAIN.LR
+    # float(): YAML 1.1 parses the reference yamls' bare "1e-4" as a STRING
+    # (no decimal point / exponent-only) — the reference casts at the same
+    # consumer (`lr=float(cfg.CONFIG.TRAIN.LR)`, train.py:83); a string LR
+    # otherwise detonates deep inside optax's scale step.
+    lr = float(cfg.CONFIG.TRAIN.LR)
     policy = cfg.CONFIG.TRAIN.get("LR_POLICY", "constant")
     if policy != "constant" and steps_per_epoch > 0:
         from ..utils.lr_scheduler import build_scheduler

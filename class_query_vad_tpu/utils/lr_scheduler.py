@@ -13,11 +13,13 @@ import optax
 
 def build_scheduler(cfg, steps_per_epoch: int):
     train = cfg.CONFIG.TRAIN
-    base_lr = train.LR
+    # float()/int(): bare "1e-4"-style YAML scalars parse as strings
+    # (YAML 1.1); the reference casts LR at its consumer (train.py:83)
+    base_lr = float(train.LR)
     policy = train.get("LR_POLICY", "constant")
-    epochs = train.NUM_EPOCHS
-    warmup_epochs = train.get("WARMUP_EPOCHS", 0)
-    min_lr = train.get("MIN_LR", 0.0)
+    epochs = int(train.NUM_EPOCHS)
+    warmup_epochs = int(train.get("WARMUP_EPOCHS", 0))
+    min_lr = float(train.get("MIN_LR", 0.0))
     total = epochs * steps_per_epoch
     warmup = warmup_epochs * steps_per_epoch
 
