@@ -46,7 +46,7 @@ class DETR(nn.Module):
 
             self.backbone = build_videomamba(
                 s.mamba_backbone_type, s.temp_len, dtype=self.dtype,
-                name="backbone",
+                name="backbone", remat=s.gradient_checkpointing,
             )
             # mamba_proj MLP (backbone_3d_builder.py:69-76)
             c2 = s.mamba_out_channels * 2

@@ -117,6 +117,7 @@ class VideoMamba(nn.Module):
     num_frames: int = 16
     d_state: int = 16
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, pixels) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -151,8 +152,18 @@ class VideoMamba(nn.Module):
         ).astype(x.dtype)
         x = jnp.concatenate([cls, x], axis=1)
 
+        # Per-layer remat (CONFIG.GRADIENT_CHECKPOINTING): the backward of
+        # each BiMamba layer re-derives the associative-scan recurrence and
+        # its [B, L, KD, N]-scale temps; without remat the 24-32 layers'
+        # saved activations blow past HBM at flagship shapes (measured:
+        # 32.8 GB vs 15.75 on the first VSS train-step chip compile,
+        # round 5).  The reference checkpoints its encoder layers the same
+        # way (dab_transformer.py:468-478).
+        block_cls = VideoMambaBlock
+        if self.remat:
+            block_cls = nn.remat(VideoMambaBlock)
         for i in range(self.depth):
-            x = VideoMambaBlock(
+            x = block_cls(
                 self.embed_dim, self.d_state, self.dtype, name=f"layers_{i}"
             )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_f")(x)
@@ -170,6 +181,7 @@ VIDEOMAMBA_SPECS = {
 
 
 def build_videomamba(backbone_type: str, num_frames: int, dtype=jnp.float32,
-                     name=None) -> VideoMamba:
+                     name=None, remat: bool = False) -> VideoMamba:
     spec = VIDEOMAMBA_SPECS[backbone_type]
-    return VideoMamba(num_frames=num_frames, dtype=dtype, name=name, **spec)
+    return VideoMamba(num_frames=num_frames, dtype=dtype, name=name,
+                      remat=remat, **spec)
