@@ -53,9 +53,12 @@ def main():
                          "step on decoded native uint8 frames, with host-"
                          "drawn per-clip params — the device-resident train "
                          "pixel path (round-4 verdict item 7)")
-    ap.add_argument("--native-hw", default="256x341",
-                    help="decoded (short-side-resized) frame dims for "
-                         "--device-preprocess")
+    ap.add_argument("--native-hw", default="300x376",
+                    help="decoded frame dims for --device-preprocess; the "
+                         "default crops to exactly the flagship 256x320 "
+                         "(w = int(256*376/300) = 320) with a nontrivial "
+                         "random crop position — the fast encoder's dyadic "
+                         "level alignment needs pow-2-friendly model dims")
     args = ap.parse_args()
 
     from class_query_vad_tpu.config import get_cfg_custom
