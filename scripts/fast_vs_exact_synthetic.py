@@ -119,7 +119,7 @@ def make_cfg(root, encoder_type):
     return cfg
 
 
-def run(root, encoder_type, epochs, lr=None, seed=0):
+def run(root, encoder_type, epochs, lr=None, seed=0, lr_policy=None):
     from class_query_vad_tpu.datasets import build_dataloader
     from class_query_vad_tpu.engine import (
         create_train_state,
@@ -135,6 +135,9 @@ def run(root, encoder_type, epochs, lr=None, seed=0):
     cfg = make_cfg(root, encoder_type)
     if lr is not None:
         cfg.CONFIG.TRAIN.LR = lr
+    if lr_policy is not None:
+        cfg.CONFIG.TRAIN.LR_POLICY = lr_policy
+        cfg.CONFIG.TRAIN.NUM_EPOCHS = epochs
     model = build_model(cfg)
     matcher = build_matcher(cfg)
     criterion, postprocess, weight_dict = build_criterion_and_postprocessor(
@@ -153,7 +156,8 @@ def run(root, encoder_type, epochs, lr=None, seed=0):
     ]
 
     first = batches[0]
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(seed), first)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(seed),
+                                   first, steps_per_epoch=len(batches))
     step = jax.jit(make_train_step(model, criterion, weight_dict, tx),
                    donate_argnums=(0,))
 
@@ -178,6 +182,7 @@ def run(root, encoder_type, epochs, lr=None, seed=0):
     return ({"encoder": encoder_type, "mAP": result["mAP"],
              "v_mAP": result.get("v_mAP"), "lr": cfg.CONFIG.TRAIN.LR,
              "seed": seed,
+             "lr_policy": cfg.CONFIG.TRAIN.get("LR_POLICY", "constant"),
              "train_s": round(time.time() - t0, 1)}, params)
 
 
@@ -250,6 +255,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="train seed (init + dropout); the synthetic world "
                          "stays fixed so seeds measure model-seed variance")
+    ap.add_argument("--lr-policy", default=None,
+                    choices=["constant", "cosine", "linear", "step"],
+                    help="override CONFIG.TRAIN.LR_POLICY for the trained "
+                         "arms (cosine decays to ~0 over the run)")
     args = ap.parse_args()
     if args.only == "transplant" and not args.params_cache:
         ap.error("--only transplant requires --params-cache "
@@ -261,7 +270,8 @@ def main():
         exact_params = None
         if args.only in (None, "exact"):
             r_exact, exact_params = run(root, "attention", args.epochs,
-                                        lr=args.lr, seed=args.seed)
+                                        lr=args.lr, seed=args.seed,
+                                        lr_policy=args.lr_policy)
             out.append(r_exact)
             print(json.dumps(r_exact), flush=True)
             if args.params_cache:
@@ -269,7 +279,7 @@ def main():
                     pickle.dump(jax.device_get(exact_params), f)
         if args.only in (None, "fast"):
             r_fast, _ = run(root, "fast_attention", args.epochs, lr=args.lr,
-                            seed=args.seed)
+                            seed=args.seed, lr_policy=args.lr_policy)
             out.append(r_fast)
             print(json.dumps(r_fast), flush=True)
         if args.only in (None, "transplant"):
