@@ -119,7 +119,8 @@ def make_cfg(root, encoder_type):
     return cfg
 
 
-def run(root, encoder_type, epochs, lr=None, seed=0, lr_policy=None):
+def run(root, encoder_type, epochs, lr=None, seed=0, lr_policy=None,
+        fast_radius=1):
     from class_query_vad_tpu.datasets import build_dataloader
     from class_query_vad_tpu.engine import (
         create_train_state,
@@ -138,6 +139,7 @@ def run(root, encoder_type, epochs, lr=None, seed=0, lr_policy=None):
     if lr_policy is not None:
         cfg.CONFIG.TRAIN.LR_POLICY = lr_policy
         cfg.CONFIG.TRAIN.NUM_EPOCHS = epochs
+    cfg.CONFIG.MODEL.FAST_RADIUS = fast_radius
     model = build_model(cfg)
     matcher = build_matcher(cfg)
     criterion, postprocess, weight_dict = build_criterion_and_postprocessor(
@@ -180,6 +182,7 @@ def run(root, encoder_type, epochs, lr=None, seed=0, lr_policy=None):
     params = jax.device_get(state.params)
     result = run_validation(cfg, model, params, postprocess, val_loader)
     return ({"encoder": encoder_type, "mAP": result["mAP"],
+             "fast_radius": fast_radius,
              "v_mAP": result.get("v_mAP"), "lr": cfg.CONFIG.TRAIN.LR,
              "seed": seed,
              "lr_policy": cfg.CONFIG.TRAIN.get("LR_POLICY", "constant"),
@@ -255,6 +258,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="train seed (init + dropout); the synthetic world "
                          "stays fixed so seeds measure model-seed variance")
+    ap.add_argument("--fast-radius", type=int, default=1,
+                    help="window radius for the fast arm (2d: (2R+1)^2 taps)")
     ap.add_argument("--lr-policy", default=None,
                     choices=["constant", "cosine", "linear", "step"],
                     help="override CONFIG.TRAIN.LR_POLICY for the trained "
@@ -279,7 +284,8 @@ def main():
                     pickle.dump(jax.device_get(exact_params), f)
         if args.only in (None, "fast"):
             r_fast, _ = run(root, "fast_attention", args.epochs, lr=args.lr,
-                            seed=args.seed, lr_policy=args.lr_policy)
+                            seed=args.seed, lr_policy=args.lr_policy,
+                            fast_radius=args.fast_radius)
             out.append(r_fast)
             print(json.dumps(r_fast), flush=True)
         if args.only in (None, "transplant"):
